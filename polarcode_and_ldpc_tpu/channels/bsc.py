@@ -1,0 +1,48 @@
+"""Binary symmetric channel (reference ``src/channel/bsc.py``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bsc_transmit(key, bits, crossover_prob: float):
+    """Flip each bit independently with probability ``crossover_prob``
+    (reference ``bsc.py:32-49``)."""
+    bits = jnp.asarray(bits, jnp.int8)
+    flips = jax.random.bernoulli(key, crossover_prob, bits.shape)
+    return jnp.where(flips, 1 - bits, bits).astype(jnp.int8)
+
+
+def bsc_llr(bits, crossover_prob: float, dtype=jnp.float32):
+    """LLR for a BSC output: log((1-p)/p) for a received 0, −log((1-p)/p) for 1.
+
+    The reference never computes BSC LLRs (its BSC path is hard-decision
+    only); provided here so BSC outputs can drive the soft decoders too.
+    """
+    import math
+
+    mag = math.log((1.0 - crossover_prob) / crossover_prob)
+    return (1.0 - 2.0 * jnp.asarray(bits, dtype)) * mag
+
+
+class BSCChannel:
+    """Reference API (``src/channel/bsc.py:10-52``) with explicit keys."""
+
+    def __init__(self, crossover_prob: float, seed: Optional[int] = None):
+        assert 0.0 <= crossover_prob <= 1.0, "crossover probability must be in [0, 1]"
+        self.crossover_prob = crossover_prob
+        self._key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    def transmit(self, bits, key=None, return_llr: bool = False):
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        out = bsc_transmit(key, bits, self.crossover_prob)
+        if return_llr:
+            return bsc_llr(out, self.crossover_prob)
+        return out
+
+    def __repr__(self) -> str:
+        return f"BSCChannel(crossover_prob={self.crossover_prob})"

@@ -1,0 +1,43 @@
+"""LDPC codes: H construction, GF(2) encoder, BP / Min-Sum decoders."""
+
+from .matrix import (
+    mackay_construction,
+    generate_ldpc_matrix,
+    peg_construction,
+    create_systematic_generator,
+    check_matrix_rank,
+    gf2_rank,
+    calculate_girth,
+)
+from .graph import TannerGraph
+from .encoder import LDPCEncoder
+from .bp import BPDecoder
+from .minsum import MSDecoder, NMSDecoder, OMSDecoder
+from .utils import (
+    create_tanner_graph,
+    check_syndrome,
+    calculate_syndrome,
+    count_errors,
+    hamming_distance,
+)
+
+__all__ = [
+    "mackay_construction",
+    "generate_ldpc_matrix",
+    "peg_construction",
+    "create_systematic_generator",
+    "check_matrix_rank",
+    "gf2_rank",
+    "calculate_girth",
+    "TannerGraph",
+    "LDPCEncoder",
+    "BPDecoder",
+    "MSDecoder",
+    "NMSDecoder",
+    "OMSDecoder",
+    "create_tanner_graph",
+    "check_syndrome",
+    "calculate_syndrome",
+    "count_errors",
+    "hamming_distance",
+]

@@ -1,0 +1,164 @@
+"""LDPC parity-check matrix construction and diagnostics (host-side NumPy).
+
+Mirrors the reference's constructors (``src/ldpc/matrix.py``) and fixes two of
+its documented defects: ``check_matrix_rank`` used a real-valued rank
+(``matrix.py:190-200``, a latent bug) — here rank is computed over GF(2) —
+and ``calculate_girth`` was a density stub (``matrix.py:203-225``) — here the
+Tanner-graph girth is computed exactly by BFS.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def mackay_construction(n: int, k: int, dv: int, dc: int,
+                        seed: Optional[int] = None) -> np.ndarray:
+    """MacKay-style random regular-column H (reference ``matrix.py:12-50``):
+    each column receives ``dv`` ones in distinct random rows; row degrees are
+    not enforced (noted in the reference at ``matrix.py:46-49``)."""
+    m = n - k
+    if dv * n != dc * m:
+        raise ValueError(f"degree constraint not satisfied: dv*n={dv * n} != dc*m={dc * m}")
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    H = np.zeros((m, n), dtype=np.int64)
+    for col in range(n):
+        rows = rng.choice(m, dv, replace=False)
+        H[rows, col] = 1
+    return H
+
+
+def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
+                         dc: int = 6, seed: Optional[int] = None) -> np.ndarray:
+    """Dispatching constructor (reference ``matrix.py:53-91``)."""
+    m = n - k
+    if method == "mackay":
+        if dv * n != dc * m:
+            dc = (dv * n) // m
+            if dv * n % m != 0:
+                print(f"Warning: adjusted dc to {dc} to satisfy constraints")
+        return mackay_construction(n, k, dv, dc, seed)
+    if method == "peg":
+        return peg_construction(n, k, dv)
+    if method == "random":
+        rng = np.random.RandomState(seed) if seed is not None else np.random
+        return rng.randint(0, 2, (m, n)).astype(np.int64)
+    raise ValueError(f"unknown method: {method}")
+
+
+def peg_construction(n: int, k: int, dv: int) -> np.ndarray:
+    """Simplified greedy PEG: attach each edge to the currently least-loaded
+    check node (reference ``matrix.py:94-132``; ties break to lowest index)."""
+    m = n - k
+    H = np.zeros((m, n), dtype=np.int64)
+    for col in range(n):
+        selected: list[int] = []
+        for _ in range(dv):
+            row_sums = H.sum(axis=1)
+            available = [i for i in range(m) if i not in selected]
+            if not available:
+                break
+            best = min(available, key=lambda i: row_sums[i])
+            selected.append(best)
+            H[best, col] = 1
+    return H
+
+
+def create_systematic_generator(H: np.ndarray) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Row-reduce H to [P | I] and return G = [I | Pᵀ]
+    (reference ``matrix.py:135-187``).  Returns (None, None) if the last m
+    columns are singular over GF(2)."""
+    H = np.asarray(H)
+    m, n = H.shape
+    k = n - m
+    W = (H.copy() % 2).astype(np.uint8)
+    for i in range(m):
+        col = n - m + i
+        pivot = None
+        for j in range(i, m):
+            if W[j, col]:
+                pivot = j
+                break
+        if pivot is None:
+            return None, None
+        if pivot != i:
+            W[[i, pivot]] = W[[pivot, i]]
+        elim = (W[:, col] == 1) & (np.arange(m) != i)
+        W[elim] ^= W[i]
+    P = W[:, :k].astype(np.int64)
+    G = np.hstack([np.eye(k, dtype=np.int64), P.T])
+    return G, P
+
+
+def gf2_rank(H: np.ndarray) -> int:
+    """Rank of H over GF(2) by XOR Gaussian elimination."""
+    W = (np.asarray(H) % 2).astype(np.uint8).copy()
+    m, n = W.shape
+    rank = 0
+    for col in range(n):
+        if rank >= m:
+            break
+        pivot = None
+        for row in range(rank, m):
+            if W[row, col]:
+                pivot = row
+                break
+        if pivot is None:
+            continue
+        if pivot != rank:
+            W[[rank, pivot]] = W[[pivot, rank]]
+        elim = (W[:, col] == 1) & (np.arange(m) != rank)
+        W[elim] ^= W[rank]
+        rank += 1
+    return rank
+
+
+def check_matrix_rank(H: np.ndarray) -> int:
+    """GF(2) rank.  NOTE: the reference's version (``matrix.py:190-200``)
+    computed a *real-valued* rank, which over-counts for GF(2) codes; this is
+    the corrected semantics."""
+    return gf2_rank(H)
+
+
+def calculate_girth(H: np.ndarray, max_girth: int = 64) -> int:
+    """Exact Tanner-graph girth (shortest cycle length) by BFS.
+
+    Replaces the reference's density-based stub (``matrix.py:203-225``) with
+    the standard algorithm: BFS from every variable node; when an edge (x, y)
+    reaches an already-visited y that is not x's BFS parent, a cycle of length
+    ``dist[x] + dist[y] + 1`` exists.  Over all start vertices this yields the
+    exact girth (even, ≥ 4 for a bipartite graph).  Returns ``max_girth`` if
+    the graph is cycle-free up to that bound.
+    """
+    from collections import deque
+
+    H = (np.asarray(H) % 2).astype(bool)
+    m, n = H.shape
+    # bipartite adjacency: nodes 0..n-1 are variables, n..n+m-1 are checks
+    adj: list[list[int]] = [[] for _ in range(n + m)]
+    rows, cols = np.nonzero(H)
+    for c, v in zip(rows.tolist(), cols.tolist()):
+        adj[v].append(n + c)
+        adj[n + c].append(v)
+
+    best = max_girth
+    for start in range(n):
+        dist = {start: 0}
+        parent = {start: -1}
+        q = deque([start])
+        while q:
+            x = q.popleft()
+            if 2 * dist[x] + 2 >= best:
+                break  # no shorter cycle reachable from here
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    parent[y] = x
+                    q.append(y)
+                elif parent[x] != y:
+                    best = min(best, dist[x] + dist[y] + 1)
+        if best == 4:
+            return 4
+    return best

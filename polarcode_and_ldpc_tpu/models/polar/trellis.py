@@ -1,0 +1,122 @@
+"""Vectorized SC trellis primitives shared by the SC and SCL decoders.
+
+The reference stores an (N)×(n+1) LLR matrix ``L`` and bit matrix ``B`` per
+frame (``src/polar/decoder.py:35-36``) and updates them with per-position
+Python loops.  Here the same trellis lives as ``[..., n+1, N]`` tensors
+(arbitrary leading batch/list axes) and each stage update is a full-width
+masked vector operation:
+
+* the butterfly partner of position ``j`` at stage ``s`` is ``j XOR 2^s``,
+  realized as a reshape + flip (free on TPU — a relayout, no gather);
+* which positions a leaf touches is a congruence mask on a static iota;
+* whether a stage runs at all is a scalar predicate → ``lax.cond``, so the
+  amortized work per leaf is O(active stages) not O(log N) stages.
+
+f/g update semantics match the reference exactly:
+``f(a,b) = sign(a)·sign(b)·min(|a|,|b|)`` (min-sum, ``decoder.py:121-127``)
+and ``g(btm, top, bit) = btm + (1−2·bit)·top`` (``decoder.py:129-144``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def xor_shuffle(x, stride: int):
+    """Permute the last axis by ``j → j XOR stride`` (stride a power of two)."""
+    N = x.shape[-1]
+    lead = x.shape[:-1]
+    xr = x.reshape(*lead, N // (2 * stride), 2, stride)
+    return jnp.flip(xr, axis=-2).reshape(*lead, N)
+
+
+def f_minsum(a, b):
+    """Upper-branch LLR update (reference ``decoder.py:121-127``)."""
+    return jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+
+
+def g_update(btm, top, bit):
+    """Lower-branch LLR update (reference ``decoder.py:129-144``)."""
+    return btm + (1.0 - 2.0 * bit.astype(btm.dtype)) * top
+
+
+def _iota(N):
+    return lax.broadcasted_iota(jnp.int32, (N,), 0)
+
+
+def update_llr_columns(L, B, l, act):
+    """Run the active LLR stages for leaf ``l`` (reference ``decoder.py:73-94``).
+
+    Args:
+        L: ``[..., n+1, N]`` LLR trellis (column 0 = channel LLRs).
+        B: ``[..., n+1, N]`` int8 bit trellis.
+        l: traced scalar leaf index.
+        act: ``[n]`` bool — which stages run (host-precomputed schedule row).
+    """
+    n = L.shape[-2] - 1
+    N = L.shape[-1]
+    iota = _iota(N)
+    for s in range(n):
+        stride = 1 << s
+        blk = (1 << (s + 1)) - 1
+
+        def run(L, _s=s, _stride=stride, _blk=blk):
+            col = L[..., _s, :]
+            partner = xor_shuffle(col, _stride)
+            bp = xor_shuffle(B[..., _s + 1, :], _stride)
+            fv = f_minsum(col, partner)
+            gv = g_update(col, partner, bp)
+            use_g = ((l >> _s) & 1).astype(bool)
+            vals = jnp.where(use_g, gv, fv)
+            mask = (iota & _blk) == (l & _blk)
+            old = L[..., _s + 1, :]
+            return L.at[..., _s + 1, :].set(jnp.where(mask, vals, old))
+
+        L = lax.cond(act[s], run, lambda L: L, L)
+    return L
+
+
+def propagate_bits(B, l, act):
+    """Partial-sum back-propagation after deciding leaf ``l``
+    (reference ``decoder.py:96-115``).
+
+    For each active stage s (descending): positions ``q ≤ l`` with
+    ``q ≡ l (mod 2^{s−1})`` get ``B[q, s−1] = B[q, s] ⊕ (bit_{s−1}(q)==0 ?
+    B[q XOR 2^{s−1}, s] : 0)`` — the vectorized form of the reference's
+    pairwise loop.
+    """
+    n = B.shape[-2] - 1
+    N = B.shape[-1]
+    iota = _iota(N)
+    for s in range(n, 0, -1):
+        stride = 1 << (s - 1)
+        blk = stride - 1
+
+        def run(B, _s=s, _stride=stride, _blk=blk):
+            col = B[..., _s, :]
+            partner = xor_shuffle(col, _stride)
+            qbit = ((iota >> (_s - 1)) & 1) == 1
+            newv = col ^ jnp.where(qbit, jnp.zeros_like(partner), partner)
+            mask = ((iota & _blk) == (l & _blk)) & (iota <= l)
+            old = B[..., _s - 1, :]
+            return B.at[..., _s - 1, :].set(jnp.where(mask, newv, old))
+
+        B = lax.cond(act[s - 1], run, lambda B: B, B)
+    return B
+
+
+def leaf_llr(L, l):
+    """Read the decision LLR ``L[..., n, l]`` for traced leaf index ``l``."""
+    col = L[..., -1, :]
+    return lax.dynamic_index_in_dim(col, l, axis=col.ndim - 1, keepdims=False)
+
+
+def set_leaf_bit(B, l, bit):
+    """Write decision bit(s) into ``B[..., n, l]`` (bit shape = leading dims)."""
+    N = B.shape[-1]
+    onehot = _iota(N) == l
+    col = B[..., -1, :]
+    newcol = jnp.where(onehot, bit[..., None].astype(B.dtype), col)
+    return B.at[..., -1, :].set(newcol)
