@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .matrix import create_systematic_generator, generate_ldpc_matrix
+from .matrix import create_systematic_generator, encodable_form, generate_ldpc_matrix
 
 
 def gf2_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -51,27 +51,6 @@ def gf2_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
     return x
 
 
-def _direct_solve_operator(H: np.ndarray, k: int) -> Optional[np.ndarray]:
-    """Precompute M with parity = (m · Mᵀ) mod 2 for the direct-solve path.
-
-    The reference solves H₂·pᵀ = H₁·mᵀ per frame (``encoder.py:97-131``);
-    since the solve is linear in the RHS, p = S·H₁·m for a fixed S, so
-    M = S·H₁ is a static [n−k, k] matrix.  Returns None if H₂ is unusable.
-    """
-    H = np.asarray(H) % 2
-    m_rows, n = H.shape
-    H1, H2 = H[:, :k], H[:, k:]
-    p_len = n - k
-    S_H1 = np.zeros((p_len, k), dtype=np.int64)
-    for j in range(k):
-        b = H1[:, j] % 2
-        S_H1[:, j] = gf2_solve(H2, b)
-    # validate: H1 + H2·M ≡ 0 column-wise
-    if np.any((H1 + H2 @ S_H1) % 2):
-        return None
-    return S_H1
-
-
 class LDPCEncoder:
     """Batched LDPC encoder (reference API: ``src/ldpc/encoder.py:12-211``)."""
 
@@ -93,7 +72,7 @@ class LDPCEncoder:
                 print(f"Warning: H implies k={n - m_actual}, but k={k} was provided")
 
         self.use_direct_solving = False
-        self._parity_op = None  # [n-k, k] for direct-solve path
+        self.info_positions = np.arange(k, dtype=np.int64)  # systematic default
         if G is not None:
             if G.shape == (n, k):
                 self.G = np.asarray(G).T % 2
@@ -105,30 +84,36 @@ class LDPCEncoder:
         else:
             self.G, self.P = create_systematic_generator(self.H)
             if self.G is None:
-                print("Warning: could not create systematic generator matrix, "
-                      "using direct solving")
-                self.use_direct_solving = True
-                self._parity_op = _direct_solve_operator(self.H, k)
-                if self._parity_op is None:
-                    print("Warning: direct-solve operator invalid; "
+                # reference falls back to a per-frame GF(2) solve that silently
+                # fails on singular H₂ (encoder.py:97-131); instead pick a
+                # general information set (see matrix.encodable_form)
+                self.G, self.info_positions = encodable_form(self.H, k)
+                if self.G is None:
+                    print("Warning: H admits no rank-compatible information set; "
                           "encoding will return zero codewords")
+                else:
+                    self.use_direct_solving = True  # reference-API flag name
 
-        if self.G is not None:
-            self._G_dev = jnp.asarray(self.G, jnp.int32)
-        elif self._parity_op is not None:
-            self._M_dev = jnp.asarray(self._parity_op.T, jnp.int32)  # [k, n-k]
+        self._G_dev = jnp.asarray(self.G, jnp.int32) if self.G is not None else None
         self._encode_jit = jax.jit(self._encode_impl)
 
     def _encode_impl(self, message):
         msg = jnp.asarray(message, jnp.int32)
-        if self.G is not None:
+        if self._G_dev is not None:
             cw = jnp.dot(msg, self._G_dev, preferred_element_type=jnp.int32) % 2
-        elif self._parity_op is not None:
-            parity = jnp.dot(msg, self._M_dev, preferred_element_type=jnp.int32) % 2
-            cw = jnp.concatenate([msg, parity], axis=-1)
         else:
             cw = jnp.zeros((*msg.shape[:-1], self.n), jnp.int32)
         return cw.astype(jnp.int8)
+
+    def extract_message(self, codeword):
+        """Recover the k message bits from a (decoded) codeword.
+
+        For systematic codes this is ``codeword[..., :k]`` (what the reference
+        harness does at e.g. ``benchmarks/ber_simulation.py:268``); for the
+        general information-set fallback it gathers ``info_positions``.
+        """
+        idx = jnp.asarray(self.info_positions, jnp.int32)
+        return jnp.asarray(codeword)[..., idx]
 
     def encode(self, message):
         """Encode ``[k]`` or ``[..., k]`` messages → ``[..., n]`` codewords

@@ -92,6 +92,53 @@ def create_systematic_generator(H: np.ndarray) -> Tuple[Optional[np.ndarray], Op
     return G, P
 
 
+def encodable_form(H: np.ndarray, k: int):
+    """General information-set encoder construction (improvement over the
+    reference, whose direct-solve fallback silently emits invalid codewords
+    when the last m columns of H are singular — ``encoder.py:97-131``).
+
+    Row-reduces H with pivots chosen greedily from the *rightmost* columns so
+    the message tends to occupy the leading positions.  Returns
+    ``(G_full [k, n], info_positions [k])`` with ``c = m·G_full mod 2``
+    satisfying H·cᵀ = 0 and ``c[info_positions] = m``.  Returns (None, None)
+    only if fewer than k free columns exist (rank deficit too small).
+    """
+    H = (np.asarray(H) % 2).astype(np.uint8)
+    m, n = H.shape
+    W = H.copy()
+    pivot_cols: list[int] = []
+    pivot_row = 0
+    for col in range(n - 1, -1, -1):  # prefer right-side pivots → parity on the right
+        if pivot_row >= m:
+            break
+        hit = np.nonzero(W[pivot_row:, col])[0]
+        if hit.size == 0:
+            continue
+        pr = pivot_row + hit[0]
+        if pr != pivot_row:
+            W[[pivot_row, pr]] = W[[pr, pivot_row]]
+        elim = (W[:, col] == 1) & (np.arange(m) != pivot_row)
+        W[elim] ^= W[pivot_row]
+        pivot_cols.append(col)
+        pivot_row += 1
+    free_cols = sorted(set(range(n)) - set(pivot_cols))
+    if len(free_cols) < k:
+        return None, None
+    info = np.array(free_cols[:k], dtype=np.int64)
+    extra_free = free_cols[k:]  # rank-deficient H: surplus free columns stay 0
+    G = np.zeros((k, n), dtype=np.int64)
+    G[np.arange(k), info] = 1
+    # each pivot row r reads: x[pivot_cols[r]] = XOR of its free-column entries
+    for r, pc in enumerate(pivot_cols):
+        row = W[r]
+        for j, ic in enumerate(info):
+            if row[ic]:
+                G[j, pc] = 1
+        # extra free columns are fixed to zero → contribute nothing
+    assert not np.any((H @ G.T) % 2), "encodable_form produced invalid generator"
+    return G, info
+
+
 def gf2_rank(H: np.ndarray) -> int:
     """Rank of H over GF(2) by XOR Gaussian elimination."""
     W = (np.asarray(H) % 2).astype(np.uint8).copy()

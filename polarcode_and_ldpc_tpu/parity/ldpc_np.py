@@ -35,6 +35,10 @@ def _check_update_bp(msgs: np.ndarray) -> np.ndarray:
 
 def _check_update_ms(msgs: np.ndarray, normalization: float, offset: float = 0.0) -> np.ndarray:
     msgs = np.asarray(msgs, np.float64)
+    if msgs.size == 1:
+        # degree-1 check: leave-one-out set is empty (the reference would
+        # crash here, decoder.py:282; the device path emits 0)
+        return np.zeros(1)
     signs = np.sign(msgs)
     mags = np.abs(msgs)
     out = np.zeros_like(msgs)
