@@ -1,0 +1,226 @@
+"""Chunked, sharded Monte-Carlo driver with reference early-stop semantics.
+
+The reference runs one Python frame at a time and breaks when ``max_errors``
+frame errors accumulate (``benchmarks/ber_simulation.py:167-197``).  Here the
+device processes fixed-size chunks of frames (one compiled program, frames
+sharded over the mesh); the host inspects per-frame results *in frame order*
+and reproduces the exact accounting: ``frames_tested`` includes every frame
+up to and including the one that crossed ``max_errors``.
+
+Periodic accumulator checkpointing (SURVEY §5 "checkpoint/resume": absent in
+the reference, added here) lets million-frame pod runs resume: the
+accumulated counters plus the next global frame id fully determine the rest
+of the run, because per-frame randomness derives from global frame ids.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import default_mesh, frame_sharding, pad_to_multiple
+from ..utils.metrics import wilson_confidence_interval
+
+
+@dataclass
+class ChunkStats:
+    """Per-chunk device outputs, materialized on host."""
+
+    bit_errors: np.ndarray   # [B] int32
+    frame_error: np.ndarray  # [B] bool
+    iterations: Optional[np.ndarray] = None  # [B] int32 (LDPC)
+
+
+@dataclass
+class MonteCarloResult:
+    """Accumulated simulation result (reference result-dict schema,
+    ``ber_simulation.py:157-205``)."""
+
+    frames: int
+    bit_errors: int
+    frame_errors: int
+    bits_per_frame: int
+    elapsed_seconds: float
+    total_iterations: int = 0
+    iteration_frames: int = 0
+
+    @property
+    def ber(self) -> float:
+        total = self.frames * self.bits_per_frame
+        return self.bit_errors / total if total else 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.frame_errors / self.frames if self.frames else 0.0
+
+    @property
+    def avg_iterations(self) -> float:
+        return (self.total_iterations / self.iteration_frames
+                if self.iteration_frames else 0.0)
+
+    @property
+    def throughput_mbps(self) -> float:
+        if self.elapsed_seconds <= 0:
+            return 0.0
+        return self.frames * self.bits_per_frame / self.elapsed_seconds / 1e6
+
+    def ber_confidence(self, confidence: float = 0.95):
+        return wilson_confidence_interval(
+            self.bit_errors, self.frames * self.bits_per_frame, confidence)
+
+    def to_dict(self) -> dict:
+        return {
+            "frames": self.frames,
+            "bit_errors": self.bit_errors,
+            "frame_errors": self.frame_errors,
+            "bits_per_frame": self.bits_per_frame,
+            "ber": self.ber,
+            "fer": self.fer,
+            "avg_iterations": self.avg_iterations,
+            "elapsed_seconds": self.elapsed_seconds,
+            "throughput_mbps": self.throughput_mbps,
+        }
+
+
+class MonteCarloSimulator:
+    """Run a jittable Monte-Carlo step over chunks of frames.
+
+    Args:
+        step_fn: ``(root_key, frame_ids [B]) → {"bit_errors": [B],
+            "frame_error": [B], ("iterations": [B])}`` — built by
+            ``sim.pipelines``.
+        bits_per_frame: message bits counted per frame (BER denominator).
+        chunk_frames: device batch size per compiled step.  Fixed, so there
+            is exactly one compilation; the final partial chunk is masked on
+            the host.
+        mesh: optional ``jax.sharding.Mesh``; frames shard over its first
+            axis.  ``chunk_frames`` is rounded up to a multiple of the mesh
+            size.
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        bits_per_frame: int,
+        chunk_frames: int = 1024,
+        mesh=None,
+        use_default_mesh: bool = False,
+    ):
+        if mesh is None and use_default_mesh:
+            mesh = default_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            chunk_frames = pad_to_multiple(chunk_frames, mesh.devices.size)
+            self._id_sharding = frame_sharding(mesh)
+        else:
+            self._id_sharding = None
+        self.chunk_frames = chunk_frames
+        self.bits_per_frame = bits_per_frame
+        self._step = jax.jit(step_fn)
+
+    def _run_chunk(self, root_key, start: int) -> ChunkStats:
+        ids = jnp.arange(start, start + self.chunk_frames, dtype=jnp.uint32)
+        if self._id_sharding is not None:
+            ids = jax.device_put(ids, self._id_sharding)
+        out = self._step(root_key, ids)
+        return ChunkStats(
+            bit_errors=np.asarray(out["bit_errors"]),
+            frame_error=np.asarray(out["frame_error"]),
+            iterations=(np.asarray(out["iterations"])
+                        if "iterations" in out else None),
+        )
+
+    def run(
+        self,
+        num_frames: int,
+        max_errors: Optional[int] = None,
+        seed: int = 0,
+        start_frame: int = 0,
+        checkpoint_path: Optional[str | Path] = None,
+        checkpoint_every_chunks: int = 50,
+    ) -> MonteCarloResult:
+        """Simulate up to ``num_frames`` frames, stopping early once
+        ``max_errors`` frame errors accumulate (reference
+        ``ber_simulation.py:191-192``)."""
+        root_key = jax.random.PRNGKey(seed)
+        acc = MonteCarloResult(frames=0, bit_errors=0, frame_errors=0,
+                               bits_per_frame=self.bits_per_frame,
+                               elapsed_seconds=0.0)
+        offset = start_frame
+        if checkpoint_path is not None:
+            loaded = self._load_checkpoint(checkpoint_path, seed)
+            if loaded is not None:
+                acc, offset = loaded
+        t0 = time.perf_counter()
+        chunk_idx = 0
+        while acc.frames < num_frames:
+            stats = self._run_chunk(root_key, offset)
+            take = min(self.chunk_frames, num_frames - acc.frames)
+            self._accumulate(acc, stats, take, max_errors)
+            offset += self.chunk_frames
+            chunk_idx += 1
+            if max_errors is not None and acc.frame_errors >= max_errors:
+                break
+            if (checkpoint_path is not None
+                    and chunk_idx % checkpoint_every_chunks == 0):
+                acc.elapsed_seconds += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self._save_checkpoint(checkpoint_path, seed, acc, offset)
+        acc.elapsed_seconds += time.perf_counter() - t0
+        if checkpoint_path is not None:
+            self._save_checkpoint(checkpoint_path, seed, acc, offset)
+        return acc
+
+    @staticmethod
+    def _accumulate(acc: MonteCarloResult, stats: ChunkStats, take: int,
+                    max_errors: Optional[int]) -> None:
+        fe = stats.frame_error[:take]
+        be = stats.bit_errors[:take]
+        if max_errors is not None:
+            remaining = max_errors - acc.frame_errors
+            cum = np.cumsum(fe)
+            crossing = np.nonzero(cum >= remaining)[0]
+            if crossing.size:
+                take = int(crossing[0]) + 1  # include the crossing frame
+                fe, be = fe[:take], be[:take]
+        acc.frames += take
+        acc.bit_errors += int(be.sum())
+        acc.frame_errors += int(fe.sum())
+        if stats.iterations is not None:
+            acc.total_iterations += int(stats.iterations[:take].sum())
+            acc.iteration_frames += take
+
+    # -- checkpoint/resume -----------------------------------------------------
+    @staticmethod
+    def _save_checkpoint(path, seed, acc: MonteCarloResult, offset: int) -> None:
+        payload = {"seed": seed, "next_frame": offset, **acc.to_dict(),
+                   "total_iterations": acc.total_iterations,
+                   "iteration_frames": acc.iteration_frames}
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        tmp.write_text(json.dumps(payload))
+        tmp.replace(p)
+
+    def _load_checkpoint(self, path, seed):
+        p = Path(path)
+        if not p.exists():
+            return None
+        d = json.loads(p.read_text())
+        if d.get("seed") != seed or d.get("bits_per_frame") != self.bits_per_frame:
+            return None
+        acc = MonteCarloResult(
+            frames=d["frames"], bit_errors=d["bit_errors"],
+            frame_errors=d["frame_errors"], bits_per_frame=d["bits_per_frame"],
+            elapsed_seconds=d["elapsed_seconds"],
+            total_iterations=d.get("total_iterations", 0),
+            iteration_frames=d.get("iteration_frames", 0),
+        )
+        return acc, d["next_frame"]

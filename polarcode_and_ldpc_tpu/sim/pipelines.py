@@ -1,0 +1,198 @@
+"""Jittable end-to-end Monte-Carlo steps: bits → encode → channel → decode →
+error counts, batched over a frame axis.
+
+This is the TPU re-design of the reference's per-frame loop body
+(``benchmarks/ber_simulation.py:167-192``: generate, encode, transmit,
+decode, count).  One ``jit``-compiled program processes a whole chunk of
+frames; message and noise randomness derive from each frame's *global id*
+(``core/rng.py``), so results are invariant to chunk size, batch layout, and
+mesh sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channels.awgn import awgn_transmit
+from ..core.rng import frame_keys
+from ..models.ldpc.bp import make_bp_decoder
+from ..models.ldpc.graph import TannerGraph
+from ..models.ldpc.minsum import make_ms_decoder
+from ..models.polar.construction import frozen_mask_from_positions
+from ..models.polar.crc import CRCCodec
+from ..models.polar.encoder import polar_transform
+from ..models.polar.sc import make_sc_decoder
+from ..models.polar.scl import _NEG_INF, make_scl_decoder
+
+
+def make_montecarlo_step(
+    k_message: int,
+    encode_fn: Callable,
+    channel_fn: Callable,
+    decode_fn: Callable,
+    compare_len: Optional[int] = None,
+):
+    """Compose a jittable Monte-Carlo chunk step.
+
+    Args:
+        k_message: message bits per frame (decoder input length).
+        encode_fn: ``[B, k_message] int8 → [B, n] int8`` codewords.
+        channel_fn: ``(keys [B], codewords [B, n]) → [B, n] float`` LLRs.
+        decode_fn: ``[B, n] float → ([B, ≥compare_len] int8, aux dict)``;
+            ``aux`` may carry per-frame ``iterations``.
+        compare_len: how many leading message bits to count errors over
+            (defaults to ``k_message``; CA-SCL compares data bits only).
+
+    Returns ``step(root_key, frame_ids [B]) → dict`` of per-frame stats
+    (``bit_errors [B]``, ``frame_error [B]``, optional ``iterations [B]``).
+    """
+    cmp_len = k_message if compare_len is None else compare_len
+
+    def step(root_key, frame_ids):
+        fkeys = frame_keys(root_key, frame_ids)
+        msg_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(fkeys)
+        noise_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(fkeys)
+        msgs = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 0.5, (k_message,)).astype(jnp.int8)
+        )(msg_keys)
+        cw = encode_fn(msgs)
+        llr = channel_fn(noise_keys, cw)
+        decoded, aux = decode_fn(llr)
+        diff = decoded[..., :cmp_len] != msgs[..., :cmp_len]
+        out = {
+            "bit_errors": jnp.sum(diff, axis=-1, dtype=jnp.int32),
+            "frame_error": jnp.any(diff, axis=-1),
+        }
+        if "iterations" in aux:
+            out["iterations"] = aux["iterations"]
+        return out
+
+    return step
+
+
+def _awgn_channel_fn(snr_db: float, dtype=jnp.float32):
+    def channel(keys, cw):
+        return jax.vmap(lambda k, c: awgn_transmit(k, c, snr_db, dtype=dtype))(keys, cw)
+
+    return channel
+
+
+def make_polar_pipeline(
+    N: int,
+    K: int,
+    frozen_bits: np.ndarray,
+    snr_db: float,
+    decoder: str = "sc",
+    list_size: int = 8,
+    use_crc: bool = False,
+    crc_polynomial: str = "CRC-8",
+    dtype=jnp.float32,
+    channel_fn: Optional[Callable] = None,
+):
+    """End-to-end polar Monte-Carlo step (reference ``simulate_polar``,
+    ``ber_simulation.py:132-205``).
+
+    ``decoder``: ``"sc"``, ``"scl"`` (metric-argmax selection), or
+    ``"ca-scl"`` (CRC-aided selection; implies ``use_crc``).
+    """
+    frozen_bits = np.sort(np.asarray(frozen_bits, np.int64))
+    info_bits = np.setdiff1d(np.arange(N), frozen_bits)
+    assert len(info_bits) == K
+    frozen_mask = frozen_mask_from_positions(N, frozen_bits)
+    info_idx = jnp.asarray(info_bits, jnp.int32)
+    if decoder == "ca-scl":
+        use_crc = True
+
+    crc = None
+    k_message = K
+    if use_crc:
+        crc = CRCCodec(K - int(crc_polynomial.split("-")[1]), crc_polynomial)
+        k_message = crc.data_len
+
+    def encode(msgs):
+        if crc is not None:
+            msgs = crc.encode(msgs)
+        u = jnp.zeros((*msgs.shape[:-1], N), jnp.int8)
+        u = u.at[..., info_idx].set(msgs)
+        return polar_transform(u)
+
+    if decoder == "sc":
+        sc = make_sc_decoder(N, frozen_mask, dtype)
+
+        def decode(llr):
+            return sc(llr)[..., info_idx], {}
+
+    elif decoder in ("scl", "ca-scl"):
+        scl = make_scl_decoder(N, frozen_mask, list_size, dtype)
+
+        def decode(llr):
+            u_paths, metrics = scl(llr)
+            info = u_paths[..., info_idx]  # [B, L, K]
+            best = jnp.argmax(metrics, axis=-1)
+            if decoder == "ca-scl":
+                ok = crc.check(info)  # [B, L]
+                eff = jnp.where(ok, metrics, _NEG_INF)
+                best = jnp.where(jnp.any(ok, axis=-1), jnp.argmax(eff, axis=-1), best)
+            sel = jnp.take_along_axis(info, best[:, None, None], axis=1)[:, 0, :]
+            return sel, {}
+
+    else:
+        raise ValueError(f"unknown polar decoder: {decoder!r}")
+
+    chan = channel_fn or _awgn_channel_fn(snr_db, dtype)
+    return make_montecarlo_step(k_message, encode, chan, decode,
+                                compare_len=k_message)
+
+
+def make_ldpc_pipeline(
+    H: np.ndarray,
+    G_kn: np.ndarray,
+    snr_db: float,
+    decoder: str = "bp",
+    max_iter: int = 20,
+    normalization: float = 1.0,
+    offset: float = 0.0,
+    early_stop: bool = True,
+    message_idx: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+    channel_fn: Optional[Callable] = None,
+):
+    """End-to-end LDPC Monte-Carlo step (reference ``simulate_ldpc``,
+    ``ber_simulation.py:208-293``).
+
+    Args:
+        H: ``[m, n]`` parity-check matrix.
+        G_kn: ``[k, n]`` generator (systematic or not).
+        message_idx: positions of the k message bits inside the codeword
+            (defaults to ``0..k-1``, the systematic convention).
+    """
+    H = np.asarray(H)
+    G = jnp.asarray((np.asarray(G_kn) % 2).astype(np.int8))
+    k = G.shape[0]
+    n = G.shape[1]
+    midx = jnp.asarray(
+        np.arange(k) if message_idx is None else np.asarray(message_idx), jnp.int32
+    )
+    graph = TannerGraph.from_H(H)
+    if decoder == "bp":
+        dec = make_bp_decoder(graph, max_iter, early_stop, dtype)
+    elif decoder in ("ms", "min-sum", "nms", "oms"):
+        dec = make_ms_decoder(graph, max_iter, normalization, offset, early_stop, dtype)
+    else:
+        raise ValueError(f"unknown LDPC decoder: {decoder!r}")
+
+    def encode(msgs):
+        # GF(2) matmul on the MXU: int8 dot then mod 2
+        prod = jnp.matmul(msgs.astype(jnp.int32), G.astype(jnp.int32))
+        return (prod & 1).astype(jnp.int8)
+
+    def decode(llr):
+        bits, iters = dec(llr)
+        return bits[..., midx], {"iterations": iters}
+
+    chan = channel_fn or _awgn_channel_fn(snr_db, dtype)
+    return make_montecarlo_step(k, encode, chan, decode)

@@ -1,0 +1,55 @@
+"""SNR sweeps producing reference-schema result dicts
+(reference ``benchmarks/ber_simulation.py:24-129`` and
+``benchmarks/test_snr_curves.py:25-163``)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from .montecarlo import MonteCarloResult, MonteCarloSimulator
+
+
+def run_snr_sweep(
+    pipeline_builder: Callable[[float], Callable],
+    bits_per_frame: int,
+    snr_points: Sequence[float],
+    num_frames: int = 1000,
+    max_errors: Optional[int] = 100,
+    seed: int = 42,
+    chunk_frames: int = 512,
+    mesh=None,
+    verbose: bool = False,
+) -> dict:
+    """Run one Monte-Carlo simulation per SNR point.
+
+    Args:
+        pipeline_builder: ``snr_db → step_fn`` (see ``sim.pipelines``); one
+            jitted program per SNR point, exactly as the reference constructs
+            one channel per point (``ber_simulation.py:157-165``).
+
+    Returns the reference's per-curve schema (``ber_simulation.py:195-205``):
+    ``{"snr_db": [...], "ber": [...], "fer": [...], "frames_tested": [...],
+    "avg_iterations": [...], "elapsed_seconds": [...],
+    "throughput_mbps": [...]}``.
+    """
+    out = {"snr_db": [], "ber": [], "fer": [], "frames_tested": [],
+           "bit_errors": [], "frame_errors": [], "avg_iterations": [],
+           "elapsed_seconds": [], "throughput_mbps": []}
+    for snr_db in snr_points:
+        sim = MonteCarloSimulator(pipeline_builder(snr_db), bits_per_frame,
+                                  chunk_frames=chunk_frames, mesh=mesh)
+        res: MonteCarloResult = sim.run(num_frames, max_errors=max_errors,
+                                        seed=seed)
+        out["snr_db"].append(float(snr_db))
+        out["ber"].append(res.ber)
+        out["fer"].append(res.fer)
+        out["frames_tested"].append(res.frames)
+        out["bit_errors"].append(res.bit_errors)
+        out["frame_errors"].append(res.frame_errors)
+        out["avg_iterations"].append(res.avg_iterations)
+        out["elapsed_seconds"].append(res.elapsed_seconds)
+        out["throughput_mbps"].append(res.throughput_mbps)
+        if verbose:
+            print(f"  SNR {snr_db:+.2f} dB: BER {res.ber:.3e}  FER {res.fer:.3e}  "
+                  f"frames {res.frames}  {res.throughput_mbps:.3f} Mbps")
+    return out

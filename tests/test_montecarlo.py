@@ -1,0 +1,112 @@
+"""Monte-Carlo engine: chunk-invariance, sharding-invariance, early-stop
+accounting, checkpoint/resume, end-to-end BER sanity (reference semantics:
+``benchmarks/ber_simulation.py``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import polarcode_and_ldpc_tpu as fec
+from polarcode_and_ldpc_tpu.parallel import default_mesh
+from polarcode_and_ldpc_tpu.sim import (
+    MonteCarloSimulator,
+    make_ldpc_pipeline,
+    make_polar_pipeline,
+    run_snr_sweep,
+)
+
+
+def _polar_step(snr_db=1.0, N=64, K=32, decoder="sc", **kw):
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    return make_polar_pipeline(N, K, frozen, snr_db, decoder=decoder, **kw), K
+
+
+def test_chunk_size_invariance():
+    step, K = _polar_step()
+    res_small = MonteCarloSimulator(step, K, chunk_frames=50).run(200, seed=7)
+    res_big = MonteCarloSimulator(step, K, chunk_frames=200).run(200, seed=7)
+    assert res_small.frames == res_big.frames == 200
+    assert res_small.bit_errors == res_big.bit_errors
+    assert res_small.frame_errors == res_big.frame_errors
+
+
+def test_mesh_sharding_invariance():
+    assert len(jax.devices()) == 8
+    step, K = _polar_step()
+    mesh = default_mesh()
+    res_sharded = MonteCarloSimulator(step, K, chunk_frames=64, mesh=mesh).run(256, seed=3)
+    res_plain = MonteCarloSimulator(step, K, chunk_frames=64).run(256, seed=3)
+    assert res_sharded.bit_errors == res_plain.bit_errors
+    assert res_sharded.frame_errors == res_plain.frame_errors
+
+
+def test_early_stop_accounting():
+    # at very low SNR almost every frame errors: max_errors must bound frames
+    step, K = _polar_step(snr_db=-10.0)
+    res = MonteCarloSimulator(step, K, chunk_frames=32).run(
+        10_000, max_errors=20, seed=0)
+    assert res.frame_errors >= 20
+    # stop includes the crossing frame: errors can't overshoot within a chunk
+    assert res.frame_errors <= 20 + 0  # exact: host masks at the crossing frame
+    assert res.frames < 10_000
+
+
+def test_checkpoint_resume(tmp_path):
+    step, K = _polar_step(snr_db=0.0)
+    ckpt = tmp_path / "mc.json"
+    full = MonteCarloSimulator(step, K, chunk_frames=50).run(300, seed=9)
+    # run in two halves through the checkpoint file
+    sim = MonteCarloSimulator(step, K, chunk_frames=50)
+    sim.run(150, seed=9, checkpoint_path=ckpt)
+    resumed = sim.run(300, seed=9, checkpoint_path=ckpt)
+    assert resumed.frames == 300
+    assert resumed.bit_errors == full.bit_errors
+    assert resumed.frame_errors == full.frame_errors
+
+
+def test_polar_scl_pipeline_runs():
+    step, K = _polar_step(snr_db=2.0, decoder="scl", list_size=4)
+    res = MonteCarloSimulator(step, K, chunk_frames=64).run(128, seed=1)
+    assert res.frames == 128
+    assert res.ber < 0.05
+
+
+def test_polar_cascl_pipeline_counts_data_bits():
+    N, K = 64, 32
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    step = make_polar_pipeline(N, K, frozen, 3.0, decoder="ca-scl", list_size=4)
+    res = MonteCarloSimulator(step, K - 8, chunk_frames=64).run(128, seed=1)
+    assert res.bits_per_frame == K - 8
+    assert res.ber < 0.05
+
+
+def test_ldpc_pipeline_with_iterations():
+    enc = fec.LDPCEncoder(48, 24, dv=3, dc=6, seed=42)
+    step = make_ldpc_pipeline(enc.H, enc.G, 4.0, decoder="bp", max_iter=20,
+                              message_idx=enc.info_positions)
+    res = MonteCarloSimulator(step, enc.k, chunk_frames=64).run(128, seed=2)
+    assert res.frames == 128
+    assert 0 < res.avg_iterations <= 20
+    assert res.ber < 0.05
+
+
+def test_ldpc_minsum_pipeline():
+    enc = fec.LDPCEncoder(48, 24, dv=3, dc=6, seed=42)
+    step = make_ldpc_pipeline(enc.H, enc.G, 4.0, decoder="nms",
+                              normalization=0.75, max_iter=20,
+                              message_idx=enc.info_positions)
+    res = MonteCarloSimulator(step, enc.k, chunk_frames=64).run(128, seed=2)
+    assert res.ber < 0.05
+
+
+def test_snr_sweep_schema_and_monotonicity():
+    N, K = 64, 32
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    builder = lambda snr: make_polar_pipeline(N, K, frozen, snr, decoder="sc")
+    out = run_snr_sweep(builder, K, snr_points=[-2.0, 4.0], num_frames=300,
+                        max_errors=None, seed=5, chunk_frames=100)
+    assert out["snr_db"] == [-2.0, 4.0]
+    assert len(out["ber"]) == 2 and len(out["fer"]) == 2
+    assert out["frames_tested"] == [300, 300]
+    assert out["ber"][0] > out["ber"][1]  # higher SNR → lower BER
+    assert out["throughput_mbps"][0] > 0
