@@ -59,8 +59,18 @@ def bit_reverse_array(arr: np.ndarray, num_bits: int) -> np.ndarray:
 def bhattacharyya_bounds(N: int, snr_db: float) -> np.ndarray:
     """Bhattacharyya parameters Z for every bit channel.
 
-    Base channel Z = exp(−SNR_lin); recursion Z → (2Z−Z², Z²) with the
-    degraded child at even index (reference ``construction.py:11-48``).
+    Base channel Z = exp(−SNR_lin); recursion Z → (2Z−Z², Z²)
+    (reference ``construction.py:11-48``).
+
+    Index convention: the natural-order butterfly/trellis (no bit-reversal,
+    ``encoder.py`` / ``decoder.py`` semantics) applies the *first* channel
+    split at the LSB of the u-index — stage s of the trellis selects f/g by
+    bit s of the leaf (``decoder.py:87-94``).  The recursion must therefore
+    place each new split at the LSB (children concatenated block-wise, the
+    old index in the low bits).  The reference interleaves the other way
+    (first split at MSB, ``construction.py:30-38``), which mismatches its
+    own decoder — a latent bug it never hits because every real run takes
+    frozen sets from the ``polarcodes`` oracle (SURVEY §1); fixed here.
     """
     n = int(np.log2(N))
     snr_linear = 10.0 ** (snr_db / 10.0)
@@ -68,10 +78,7 @@ def bhattacharyya_bounds(N: int, snr_db: float) -> np.ndarray:
     for _ in range(n):
         bad = 2.0 * Z - Z * Z
         good = Z * Z
-        out = np.empty(2 * Z.size, dtype=np.float64)
-        out[0::2] = bad
-        out[1::2] = good
-        Z = out
+        Z = np.concatenate([bad, good])
     return Z
 
 
@@ -81,7 +88,8 @@ def gaussian_approximation(N: int, snr_db: float) -> np.ndarray:
     This reproduces the reference's crude update (×0.9 for the degraded
     child below saturation, ×2 capped at 100 for the upgraded child —
     ``construction.py:51-97``), kept for surface parity.  For a principled
-    construction use :func:`dega_llr_means`.
+    construction use :func:`dega_llr_means`.  Split-index convention fixed
+    as in :func:`bhattacharyya_bounds` (new split at LSB).
     """
     n = int(np.log2(N))
     snr_linear = 10.0 ** (snr_db / 10.0)
@@ -89,10 +97,7 @@ def gaussian_approximation(N: int, snr_db: float) -> np.ndarray:
     for _ in range(n):
         bad = np.where(mu < 10.0, mu * 0.9, mu)
         good = np.minimum(2.0 * mu, 100.0)
-        out = np.empty(2 * mu.size, dtype=np.float64)
-        out[0::2] = bad
-        out[1::2] = good
-        mu = out
+        mu = np.concatenate([bad, good])
     return mu
 
 
@@ -122,6 +127,8 @@ def dega_llr_means(N: int, snr_db: float) -> np.ndarray:
 
     An improvement over the reference's heuristic (it ships only the crude
     update above): μ → (φ⁻¹(1−(1−φ(μ))²), 2μ).  Larger mean ⇒ better channel.
+    Split-index convention as in :func:`bhattacharyya_bounds` (new split at
+    LSB, matching the natural-order trellis).
     """
     n = int(np.log2(N))
     snr_linear = 10.0 ** (snr_db / 10.0)
@@ -130,10 +137,7 @@ def dega_llr_means(N: int, snr_db: float) -> np.ndarray:
         phi_mu = _phi(mu)
         bad = _phi_inv(1.0 - (1.0 - phi_mu) ** 2)
         good = 2.0 * mu
-        out = np.empty(2 * mu.size, dtype=np.float64)
-        out[0::2] = bad
-        out[1::2] = good
-        mu = out
+        mu = np.concatenate([bad, good])
     return mu
 
 

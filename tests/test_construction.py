@@ -70,3 +70,20 @@ def test_capacities():
     c = fec.calculate_channel_capacities(64, 2.0)
     assert c.shape == (64,)
     assert np.all(c >= -1e-9) and np.all(c <= 1 + 1e-9)
+
+
+def test_construction_quality_large_N():
+    # regression: the split recursion must index first-split-at-LSB for the
+    # natural-order trellis; the interleaved (reference) order scrambles the
+    # frozen set at large N (SC N=512 @2 dB decoded at BER≈0.3 before the fix)
+    import jax.numpy as jnp
+    import polarcode_and_ldpc_tpu as fec
+
+    N, K = 512, 256
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    enc = fec.PolarEncoder(N, K, frozen_bits=frozen)
+    dec = fec.SCDecoder(N, K, frozen_bits=frozen)
+    chan = fec.AWGNChannel(snr_db=2.0, seed=0)
+    msgs = np.random.default_rng(0).integers(0, 2, (100, K))
+    out = np.asarray(dec.decode(chan.transmit(enc.encode(msgs))))
+    assert np.any(out != msgs, axis=1).mean() <= 0.02
