@@ -1,0 +1,101 @@
+"""Headline benchmark: decoded info Mbps/chip.
+
+Primary metric (BASELINE.json): SCL-8 polar decode at N=1024 K=512, AWGN
+3 dB — decoded information bits per second on one chip.  The reference's CPU
+number is ≈5e-4 Mbps (BASELINE.md, extrapolated from its committed results);
+``vs_baseline`` is the speedup over that.  A secondary LDPC BP n=504 number
+(reference: 7.95e-5 Mbps) is reported in the same JSON line.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N, ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SCL8_N1024_MBPS = 5e-4    # BASELINE.md "Derived: SCL-8 N=1024 decode"
+BASELINE_BP_N504_MBPS = 7.95e-5    # BASELINE.md "LDPC BP decode throughput"
+
+
+def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_polar_scl8(batch: int = 256) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
+
+    N, K, L, snr_db = 1024, 512, 8, 3.0
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    enc = fec.PolarEncoder(N, K, frozen_bits=frozen)
+    chan = fec.AWGNChannel(snr_db=snr_db, seed=42)
+    msgs = np.random.default_rng(0).integers(0, 2, (batch, K)).astype(np.int8)
+    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+
+    decode = jax.jit(make_scl_decoder(N, enc.frozen_mask, L))
+    t = _time_steady_state(decode, llr)
+    mbps = batch * K / t / 1e6
+    # correctness spot-check alongside the timing
+    u_paths, metrics = decode(llr)
+    best = jnp.take_along_axis(
+        u_paths[..., jnp.asarray(enc.info_bits)],
+        jnp.argmax(metrics, axis=-1)[:, None, None], axis=1)[:, 0, :]
+    ber = float((np.asarray(best) != msgs).mean())
+    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
+
+
+def bench_ldpc_bp(batch: int = 1024) -> dict:
+    import jax
+
+    import polarcode_and_ldpc_tpu as fec
+
+    n, k, snr_db = 504, 252, 3.0
+    enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
+    dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True)
+    chan = fec.AWGNChannel(snr_db=snr_db, seed=43)
+    msgs = np.random.default_rng(1).integers(0, 2, (batch, enc.k)).astype(np.int8)
+    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+
+    t = _time_steady_state(dec._decode, llr)
+    mbps = batch * enc.k / t / 1e6
+    bits, _ = dec._decode(llr)
+    ber = float((np.asarray(enc.extract_message(bits)) != msgs).mean())
+    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
+
+
+def main() -> None:
+    import jax
+
+    polar = bench_polar_scl8()
+    ldpc = bench_ldpc_bp()
+    result = {
+        "metric": "polar_scl8_n1024_decoded_info_mbps_per_chip",
+        "value": round(polar["mbps"], 3),
+        "unit": "Mbps",
+        "vs_baseline": round(polar["mbps"] / BASELINE_SCL8_N1024_MBPS, 1),
+        "ldpc_bp_n504_mbps": round(ldpc["mbps"], 3),
+        "ldpc_vs_baseline": round(ldpc["mbps"] / BASELINE_BP_N504_MBPS, 1),
+        "polar_ber_3db": polar["ber_3db"],
+        "ldpc_ber_3db": ldpc["ber_3db"],
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Throughput measurement (reference ``benchmarks/throughput_test.py``).
+
+The reference times per-frame Python loops after a 10-frame warm-up
+(``throughput_test.py:185-353``); here a whole batch is one compiled device
+program, warmed up to exclude compilation, timed over several repetitions
+with ``block_until_ready`` fencing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channels.awgn import AWGNChannel
+from ..models.ldpc.bp import BPDecoder
+from ..models.ldpc.encoder import LDPCEncoder
+from ..models.ldpc.minsum import MSDecoder
+from ..models.polar.encoder import PolarEncoder
+from ..models.polar.sc import SCDecoder
+from ..models.polar.scl import SCLDecoder
+from ..models.polar.construction import construct_polar_code
+
+
+def time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    """Steady-state seconds per call (compilation excluded)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_polar_throughput(
+    N: int = 1024,
+    K: int = 512,
+    snr_db: float = 3.0,
+    batch: int = 256,
+    decoder: str = "sc",
+    list_size: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Encode / decode / end-to-end Mbps (reference
+    ``throughput_test.py:185-266``)."""
+    frozen, _ = construct_polar_code(N, K, "bhattacharyya", 2.0)
+    enc = PolarEncoder(N, K, frozen_bits=frozen)
+    dec = (SCDecoder(N, K, frozen_bits=frozen) if decoder == "sc"
+           else SCLDecoder(N, K, list_size=list_size, frozen_bits=frozen))
+    chan = AWGNChannel(snr_db=snr_db, seed=seed)
+    msgs = jnp.asarray(
+        np.random.default_rng(seed).integers(0, 2, (batch, K)), jnp.int8)
+
+    t_enc = time_fn(enc._encode_jit, msgs)
+    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+    decode_fn = dec._decode_full if decoder == "sc" else dec._decode_paths
+    t_dec = time_fn(decode_fn, llr)
+
+    key = jax.random.PRNGKey(seed)
+
+    def end_to_end(msgs, key):
+        cw = enc._encode_jit(msgs)
+        llr = chan.transmit(cw, key=key)
+        return decode_fn(llr)
+
+    t_e2e = time_fn(end_to_end, msgs, key)
+    info_bits = batch * K
+    return {
+        "config": {"N": N, "K": K, "decoder": decoder, "batch": batch,
+                   "snr_db": snr_db,
+                   **({"list_size": list_size} if decoder != "sc" else {})},
+        "encoding_throughput": info_bits / t_enc / 1e6,
+        "decoding_throughput": info_bits / t_dec / 1e6,
+        "end_to_end_throughput": info_bits / t_e2e / 1e6,
+        "encode_seconds": t_enc,
+        "decode_seconds": t_dec,
+        "decode_ms_per_frame": t_dec / batch * 1e3,
+    }
+
+
+def measure_ldpc_throughput(
+    n: int = 504,
+    k: int = 252,
+    dv: int = 3,
+    dc: int = 6,
+    snr_db: float = 3.0,
+    batch: int = 256,
+    decoder: str = "bp",
+    max_iter: int = 20,
+    normalization: float = 0.75,
+    seed: int = 42,
+    H: Optional[np.ndarray] = None,
+) -> dict:
+    """Encode / decode / end-to-end Mbps (reference
+    ``throughput_test.py:269-353``)."""
+    enc = LDPCEncoder(n, k, H=H, dv=dv, dc=dc, seed=seed)
+    dec = (BPDecoder(enc.H, max_iter=max_iter) if decoder == "bp"
+           else MSDecoder(enc.H, max_iter=max_iter, normalization=normalization))
+    chan = AWGNChannel(snr_db=snr_db, seed=seed)
+    msgs = jnp.asarray(
+        np.random.default_rng(seed).integers(0, 2, (batch, enc.k)), jnp.int8)
+
+    t_enc = time_fn(enc._encode_jit, msgs)
+    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+    t_dec = time_fn(dec._decode, llr)
+
+    key = jax.random.PRNGKey(seed)
+
+    def end_to_end(msgs, key):
+        cw = enc._encode_jit(msgs)
+        llr = chan.transmit(cw, key=key)
+        return dec._decode(llr)
+
+    t_e2e = time_fn(end_to_end, msgs, key)
+    info_bits = batch * enc.k
+    return {
+        "config": {"n": n, "k": enc.k, "dv": dv, "dc": dc, "decoder": decoder,
+                   "batch": batch, "max_iterations": max_iter, "snr_db": snr_db},
+        "encoding_throughput": info_bits / t_enc / 1e6,
+        "decoding_throughput": info_bits / t_dec / 1e6,
+        "end_to_end_throughput": info_bits / t_e2e / 1e6,
+        "encode_seconds": t_enc,
+        "decode_seconds": t_dec,
+        "decode_ms_per_frame": t_dec / batch * 1e3,
+    }
+
+
+def run_throughput_test(polar_params: Optional[dict] = None,
+                        ldpc_params: Optional[dict] = None) -> dict:
+    """Combined probe (reference ``throughput_test.py:23-97``)."""
+    return {
+        "polar": measure_polar_throughput(**(polar_params or {})),
+        "ldpc": measure_ldpc_throughput(**(ldpc_params or {})),
+    }
