@@ -78,9 +78,22 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across bench runs (first SCL-8 N=1024
+    compile is expensive; subsequent runs hit the cache)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older JAX without these options
+
+
 def main() -> None:
     import jax
 
+    _enable_compilation_cache()
     polar = bench_polar_scl8()
     ldpc = bench_ldpc_bp()
     result = {

@@ -28,12 +28,23 @@ from .schedule import build_schedule
 from .trellis import leaf_llr, propagate_bits, set_leaf_bit, update_llr_columns
 
 
-def make_sc_decoder(N: int, frozen_mask: np.ndarray, dtype=jnp.float32):
+def make_sc_decoder(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
+                    impl: str = "unrolled"):
     """Build a jittable SC decoder for a fixed code.
 
     Returns ``decode(llr: [..., N]) -> u: [..., N] int8`` (full u-vector in
     natural order; callers extract info positions).
+
+    ``impl``: ``"unrolled"`` (default — O(N log N) recursive fast path with
+    exact rate-0/rate-1/REP/SPC node shortcuts, see ``fastsc.py``) or
+    ``"scan"`` (the reference-trellis ``lax.scan`` formulation below).
+    Both are bit-identical to the reference and to each other.
     """
+    if impl == "unrolled":
+        from .fastsc import make_sc_decoder_unrolled
+
+        return make_sc_decoder_unrolled(N, frozen_mask, dtype)
+    assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n = sched.n
     xs = {
@@ -76,7 +87,7 @@ class SCDecoder:
     """
 
     def __init__(self, N: int, K: int, frozen_bits: Optional[np.ndarray] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, impl: str = "unrolled"):
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N, "K must be in (0, N)"
         self.N = N
@@ -90,7 +101,8 @@ class SCDecoder:
         self.frozen_mask = frozen_mask_from_positions(N, self.frozen_bits)
         self.dtype = dtype
         self._info_idx = jnp.asarray(self.info_bits, jnp.int32)
-        self._decode_full = jax.jit(make_sc_decoder(N, self.frozen_mask, dtype))
+        self._decode_full = jax.jit(make_sc_decoder(N, self.frozen_mask, dtype,
+                                                    impl=impl))
 
     def decode_full(self, llr):
         """Decode to the full u-vector ``[..., N]``."""

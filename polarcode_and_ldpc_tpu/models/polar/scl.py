@@ -47,13 +47,22 @@ def _log_likelihood_deltas(llr):
 
 
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, impl: str = "unrolled"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
     metrics: [batch, L])`` with paths sorted by selection slot (slot 0 is not
     necessarily the best path; use the metrics / CRC to select).
+
+    ``impl``: ``"unrolled"`` (default — recursive fast path with lazy path-
+    permutation composition, see ``fastscl.py``) or ``"scan"`` (the
+    reference-trellis formulation below).  Bit-identical outputs.
     """
+    if impl == "unrolled":
+        from .fastscl import make_scl_decoder_unrolled
+
+        return make_scl_decoder_unrolled(N, frozen_mask, list_size, dtype)
+    assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size
     xs = {
@@ -124,7 +133,7 @@ class SCLDecoder:
     def __init__(self, N: int, K: int, list_size: int = 8,
                  frozen_bits: Optional[np.ndarray] = None,
                  use_crc: bool = False, crc_polynomial: str = "CRC-8",
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, impl: str = "unrolled"):
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N, "K must be in (0, N)"
         assert list_size >= 1
@@ -144,7 +153,8 @@ class SCLDecoder:
         self._info_idx = jnp.asarray(self.info_bits, jnp.int32)
         crc_len = int(crc_polynomial.split("-")[1]) if use_crc else 0
         self._crc = CRCCodec(K - crc_len, crc_polynomial) if use_crc else None
-        self._decode_paths = jax.jit(make_scl_decoder(N, self.frozen_mask, list_size, dtype))
+        self._decode_paths = jax.jit(make_scl_decoder(N, self.frozen_mask,
+                                                      list_size, dtype, impl=impl))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, u_paths, metrics):

@@ -1,0 +1,95 @@
+"""Unrolled fast-path decoders (``fastsc.py``/``fastscl.py``) must be
+bit-identical to the scan-trellis implementations and the NumPy twins —
+including the exact rate-0/rate-1/REP/SPC node shortcuts and adversarial
+zero-LLR ties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polarcode_and_ldpc_tpu as fec
+from polarcode_and_ldpc_tpu.models.polar.construction import frozen_mask_from_positions
+from polarcode_and_ldpc_tpu.models.polar.fastsc import make_sc_decoder_unrolled
+from polarcode_and_ldpc_tpu.models.polar.fastscl import make_scl_decoder_unrolled
+from polarcode_and_ldpc_tpu.models.polar.sc import make_sc_decoder
+from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
+from polarcode_and_ldpc_tpu.parity.polar_np import sc_decode_np, scl_decode_np
+
+
+def _mask(N, K):
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    return frozen_mask_from_positions(N, frozen)
+
+
+@pytest.mark.parametrize("N", [8, 32, 128, 512])
+def test_unrolled_sc_tie_exact(N, rng):
+    # fast_nodes=False path (rate-0/REP only) is exact even on zero-LLR ties
+    mask = _mask(N, N // 2)
+    dec = jax.jit(make_sc_decoder_unrolled(N, mask, jnp.float64,
+                                           fast_nodes=False))
+    llr = rng.standard_normal((8, N)) * 2.0
+    llr[0, : min(4, N)] = 0.0  # adversarial ties
+    got = np.asarray(dec(llr))
+    for i in range(len(llr)):
+        np.testing.assert_array_equal(got[i], sc_decode_np(llr[i], mask))
+
+
+@pytest.mark.parametrize("N", [8, 32, 128, 512])
+def test_unrolled_sc_exact_continuous(N, rng):
+    # rate-1/SPC shortcuts are exact for continuous (tie-free) LLRs
+    mask = _mask(N, N // 2)
+    dec = jax.jit(make_sc_decoder_unrolled(N, mask, jnp.float64,
+                                           fast_nodes=True))
+    llr = rng.standard_normal((16, N)) * 2.0
+    got = np.asarray(dec(llr))
+    for i in range(len(llr)):
+        np.testing.assert_array_equal(got[i], sc_decode_np(llr[i], mask))
+
+
+def test_unrolled_sc_equals_scan(rng):
+    N = 256
+    mask = _mask(N, 128)
+    unrolled = jax.jit(make_sc_decoder(N, mask, jnp.float64, impl="unrolled"))
+    scan = jax.jit(make_sc_decoder(N, mask, jnp.float64, impl="scan"))
+    llr = rng.standard_normal((16, N)) * 2.0
+    np.testing.assert_array_equal(np.asarray(unrolled(llr)),
+                                  np.asarray(scan(llr)))
+
+
+@pytest.mark.parametrize("N,L", [(16, 2), (64, 8), (128, 16)])
+def test_unrolled_scl_exact(N, L, rng):
+    mask = _mask(N, N // 2)
+    dec = jax.jit(make_scl_decoder_unrolled(N, mask, L, jnp.float64))
+    llr = rng.standard_normal((6, N)) * 1.5
+    llr[0, :3] = 0.0
+    u_paths, pm = dec(llr)
+    u_paths, pm = np.asarray(u_paths), np.asarray(pm)
+    for i in range(len(llr)):
+        _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
+        np.testing.assert_allclose(pm[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(u_paths[i], ref_paths)
+
+
+def test_unrolled_scl_equals_scan(rng):
+    N, L = 128, 4
+    mask = _mask(N, 64)
+    unrolled = jax.jit(make_scl_decoder(N, mask, L, jnp.float64, impl="unrolled"))
+    scan = jax.jit(make_scl_decoder(N, mask, L, jnp.float64, impl="scan"))
+    llr = rng.standard_normal((8, N)) * 1.5
+    u_u, pm_u = unrolled(llr)
+    u_s, pm_s = scan(llr)
+    np.testing.assert_allclose(np.asarray(pm_u), np.asarray(pm_s), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u_u), np.asarray(u_s))
+
+
+def test_decoder_classes_accept_impl(rng):
+    sc_u = fec.SCDecoder(64, 32, impl="unrolled")
+    sc_s = fec.SCDecoder(64, 32, impl="scan")
+    llr = rng.standard_normal((4, 64)) * 3
+    np.testing.assert_array_equal(np.asarray(sc_u.decode(llr)),
+                                  np.asarray(sc_s.decode(llr)))
+    scl_u = fec.SCLDecoder(64, 32, list_size=4, impl="unrolled")
+    scl_s = fec.SCLDecoder(64, 32, list_size=4, impl="scan")
+    np.testing.assert_array_equal(np.asarray(scl_u.decode(llr)),
+                                  np.asarray(scl_s.decode(llr)))
