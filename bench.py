@@ -6,13 +6,16 @@ number is ≈5e-4 Mbps (BASELINE.md, extrapolated from its committed results);
 ``vs_baseline`` is the speedup over that.  A secondary LDPC BP n=504 number
 (reference: 7.95e-5 Mbps) is reported in the same JSON line.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
 ``{"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N, ...}``
+(progress goes to stderr; compiled programs persist in .jax_cache so
+subsequent runs skip the one-time SCL compilation).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,21 +24,38 @@ BASELINE_SCL8_N1024_MBPS = 5e-4    # BASELINE.md "Derived: SCL-8 N=1024 decode"
 BASELINE_BP_N504_MBPS = 7.95e-5    # BASELINE.md "LDPC BP decode throughput"
 
 
-def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     import jax
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
-def bench_polar_scl8(batch: int = 256) -> dict:
+def _awgn_llrs(codewords, snr_db: float, seed: int):
+    """One fused jitted program for the channel (eager per-op dispatch is
+    prohibitively slow over a remote-TPU tunnel)."""
     import jax
     import jax.numpy as jnp
+
+    from polarcode_and_ldpc_tpu.channels.awgn import awgn_transmit
+
+    fn = jax.jit(lambda key, cw: awgn_transmit(key, cw, snr_db))
+    return jax.block_until_ready(fn(jax.random.PRNGKey(seed),
+                                    jnp.asarray(codewords, jnp.int8)))
+
+
+def bench_polar_scl8(batch: int = 128) -> dict:
+    import jax
 
     import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
@@ -43,19 +63,23 @@ def bench_polar_scl8(batch: int = 256) -> dict:
     N, K, L, snr_db = 1024, 512, 8, 3.0
     frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
     enc = fec.PolarEncoder(N, K, frozen_bits=frozen)
-    chan = fec.AWGNChannel(snr_db=snr_db, seed=42)
     msgs = np.random.default_rng(0).integers(0, 2, (batch, K)).astype(np.int8)
-    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+    _log("polar: encoding + channel ...")
+    cw = jax.block_until_ready(enc.encode(msgs))
+    llr = _awgn_llrs(cw, snr_db, seed=42)
 
+    _log("polar: compiling SCL-8 N=1024 ...")
     decode = jax.jit(make_scl_decoder(N, enc.frozen_mask, L))
+    t_first = time.perf_counter()
+    u_paths, metrics = jax.block_until_ready(decode(llr))
+    _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
     t = _time_steady_state(decode, llr)
     mbps = batch * K / t / 1e6
-    # correctness spot-check alongside the timing
-    u_paths, metrics = decode(llr)
-    best = jnp.take_along_axis(
-        u_paths[..., jnp.asarray(enc.info_bits)],
-        jnp.argmax(metrics, axis=-1)[:, None, None], axis=1)[:, 0, :]
-    ber = float((np.asarray(best) != msgs).mean())
+    # correctness spot-check on host (argmax-metric path selection)
+    u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
+    best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, enc.info_bits]
+    ber = float((best != msgs).mean())
+    _log(f"polar: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
 
 
@@ -67,35 +91,31 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
     n, k, snr_db = 504, 252, 3.0
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
     dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True)
-    chan = fec.AWGNChannel(snr_db=snr_db, seed=43)
     msgs = np.random.default_rng(1).integers(0, 2, (batch, enc.k)).astype(np.int8)
-    llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
+    _log("ldpc: encoding + channel ...")
+    cw = jax.block_until_ready(enc.encode(msgs))
+    llr = _awgn_llrs(cw, snr_db, seed=43)
 
+    _log("ldpc: compiling BP n=504 ...")
+    t_first = time.perf_counter()
+    bits, _ = jax.block_until_ready(dec._decode(llr))
+    _log(f"ldpc: compile+first run {time.perf_counter() - t_first:.1f}s")
     t = _time_steady_state(dec._decode, llr)
     mbps = batch * enc.k / t / 1e6
-    bits, _ = dec._decode(llr)
     ber = float((np.asarray(enc.extract_message(bits)) != msgs).mean())
+    _log(f"ldpc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
 
 
-def _enable_compilation_cache() -> None:
-    """Persist compiled executables across bench runs (first SCL-8 N=1024
-    compile is expensive; subsequent runs hit the cache)."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older JAX without these options
-
-
 def main() -> None:
+    # NOTE: do NOT enable jax's persistent compilation cache here — over the
+    # remote-TPU (axon) tunnel a cached-executable *load* measures ~70 s,
+    # slower than recompiling; measured 2026-08-17.
     import jax
 
-    _enable_compilation_cache()
-    polar = bench_polar_scl8()
+    _log(f"device: {jax.devices()[0]}")
     ldpc = bench_ldpc_bp()
+    polar = bench_polar_scl8()
     result = {
         "metric": "polar_scl8_n1024_decoded_info_mbps_per_chip",
         "value": round(polar["mbps"], 3),

@@ -16,6 +16,7 @@ explicitly for bit-exact parity tests against the NumPy twin
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -92,6 +93,13 @@ class AWGNChannel:
         self.snr_db = snr_db
         self.snr_linear = 10.0 ** (snr_db / 10.0)
         self.noise_std = awgn_noise_std(snr_db)
+        # one fused program per (snr, return_llr) instead of eager per-op
+        # dispatch (the ambient remote-TPU path makes eager ops very costly)
+        self._transmit_jit = {
+            ret: jax.jit(functools.partial(awgn_transmit, snr_db=snr_db,
+                                           return_llr=ret, dtype=self.dtype))
+            for ret in (False, True)
+        }
 
     def modulate_bpsk(self, bits):
         return bpsk_modulate(bits, self.dtype)
@@ -109,7 +117,10 @@ class AWGNChannel:
 
     def transmit(self, bits, return_llr: bool = True, key=None, noise=None):
         key = self._next_key(key)
-        return awgn_transmit(key, bits, self.snr_db, return_llr, self.dtype, noise)
+        if noise is not None:  # parity path: explicit noise, eager is fine
+            return awgn_transmit(key, bits, self.snr_db, return_llr,
+                                 self.dtype, noise)
+        return self._transmit_jit[bool(return_llr)](key, bits)
 
     def get_capacity(self) -> float:
         return awgn_capacity(self.snr_db)

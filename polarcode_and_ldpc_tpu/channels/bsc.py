@@ -35,11 +35,13 @@ class BSCChannel:
         assert 0.0 <= crossover_prob <= 1.0, "crossover probability must be in [0, 1]"
         self.crossover_prob = crossover_prob
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._transmit_jit = jax.jit(
+            lambda key, bits: bsc_transmit(key, bits, crossover_prob))
 
     def transmit(self, bits, key=None, return_llr: bool = False):
         if key is None:
             self._key, key = jax.random.split(self._key)
-        out = bsc_transmit(key, bits, self.crossover_prob)
+        out = self._transmit_jit(key, jnp.asarray(bits, jnp.int8))
         if return_llr:
             return bsc_llr(out, self.crossover_prob)
         return out

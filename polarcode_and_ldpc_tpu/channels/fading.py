@@ -73,11 +73,16 @@ class RayleighFadingChannel:
         self.noise_std = awgn_noise_std(snr_db)
         self.dtype = dtype
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._transmit_jit = {
+            ret: jax.jit(lambda key, bits, _r=ret: rayleigh_transmit(
+                key, bits, snr_db, _r, dtype))
+            for ret in (False, True)
+        }
 
     def transmit(self, bits, return_llr: bool = True, key=None):
         if key is None:
             self._key, key = jax.random.split(self._key)
-        return rayleigh_transmit(key, bits, self.snr_db, return_llr, self.dtype)
+        return self._transmit_jit[bool(return_llr)](key, bits)
 
     def __repr__(self) -> str:
         return f"RayleighFadingChannel(SNR={self.snr_db:.2f}dB)"
@@ -93,11 +98,16 @@ class RicianFadingChannel:
         self.noise_std = awgn_noise_std(snr_db)
         self.dtype = dtype
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._transmit_jit = {
+            ret: jax.jit(lambda key, bits, _r=ret: rician_transmit(
+                key, bits, snr_db, k_factor, _r, dtype))
+            for ret in (False, True)
+        }
 
     def transmit(self, bits, return_llr: bool = True, key=None):
         if key is None:
             self._key, key = jax.random.split(self._key)
-        return rician_transmit(key, bits, self.snr_db, self.k_factor, return_llr, self.dtype)
+        return self._transmit_jit[bool(return_llr)](key, bits)
 
     def __repr__(self) -> str:
         return f"RicianFadingChannel(SNR={self.snr_db:.2f}dB, K={self.k_factor})"
