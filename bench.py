@@ -28,17 +28,30 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+def _force(out) -> None:
+    """Force real completion: fetch one element of the first output leaf.
+
+    ``block_until_ready`` over the remote-TPU tunnel can acknowledge before
+    execution finishes (measured: 0.1 ms "latency" for a 268 ms program);
+    a device→host fetch of any output element cannot."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
+def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        _force(fn(*args))
+    best = float("inf")
+    for _ in range(3):  # median-free best-of-3 to dodge tunnel contention
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        _force(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _awgn_llrs(codewords, snr_db: float, seed: int):

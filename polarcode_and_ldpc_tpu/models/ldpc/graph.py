@@ -24,6 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+MATMUL_PERMUTE_MAX_SLOTS = 4096  # one-hot permute matrices up to 64 MB f32
+
+
 @dataclass
 class TannerGraph:
     m: int
@@ -39,6 +42,12 @@ class TannerGraph:
     var_checks: jnp.ndarray    # [n, dv_max] int32 — check index per slot (0-padded)
     var_mask: jnp.ndarray      # [n, dv_max] bool
     vc_gather: jnp.ndarray     # [n, dv_max] int32 — flat check-major edge index
+    # optional one-hot permutation matrices: XLA lowers flat gathers to
+    # scalar-ish code on TPU, while a one-hot matmul rides the MXU and is
+    # exact (each row selects exactly one message).  Built only for codes
+    # small enough that the [slots, slots] f32 matrix is cheap.
+    cv_permute: jnp.ndarray = None  # [m·dc_max, n·dv_max] f32 or None
+    vc_permute: jnp.ndarray = None  # [n·dv_max, m·dc_max] f32 or None
 
     @classmethod
     def from_H(cls, H: np.ndarray) -> "TannerGraph":
@@ -76,24 +85,48 @@ class TannerGraph:
             for s, c in enumerate(nbrs):
                 vc_gather[v, s] = int(c) * dc_max + slot_in_check[(int(c), v)]
 
+        cv_permute = vc_permute = None
+        cm_slots, vm_slots = m * dc_max, n * dv_max
+        if max(cm_slots, vm_slots) <= MATMUL_PERMUTE_MAX_SLOTS:
+            cv_p = np.zeros((cm_slots, vm_slots), np.float32)
+            cv_p[np.arange(cm_slots), cv_gather.reshape(-1)] = 1.0
+            vc_p = np.zeros((vm_slots, cm_slots), np.float32)
+            vc_p[np.arange(vm_slots), vc_gather.reshape(-1)] = 1.0
+            cv_permute, vc_permute = jnp.asarray(cv_p), jnp.asarray(vc_p)
+
         return cls(
             m=m, n=n, num_edges=int(H.sum()), dc_max=dc_max, dv_max=dv_max,
             check_vars=jnp.asarray(check_vars), check_mask=jnp.asarray(check_mask),
             cv_gather=jnp.asarray(cv_gather),
             var_checks=jnp.asarray(var_checks), var_mask=jnp.asarray(var_mask),
             vc_gather=jnp.asarray(vc_gather),
+            cv_permute=cv_permute, vc_permute=vc_permute,
         )
 
     # -- device helpers -------------------------------------------------------
+    def _permutable(self, msgs, permute) -> bool:
+        # the MXU path needs f32 (f64 parity runs keep the exact gathers)
+        return permute is not None and msgs.dtype in (jnp.float32, jnp.bfloat16)
+
     def gather_var_to_check(self, msgs_var):
         """[batch, n, dv_max] → [batch, m, dc_max] (check-major view)."""
         flat = msgs_var.reshape(*msgs_var.shape[:-2], self.n * self.dv_max)
+        if self._permutable(msgs_var, self.cv_permute):
+            out = jnp.matmul(flat.astype(jnp.float32), self.cv_permute.T,
+                             preferred_element_type=jnp.float32)
+            return out.astype(msgs_var.dtype).reshape(
+                *msgs_var.shape[:-2], self.m, self.dc_max)
         return flat[..., self.cv_gather.reshape(-1)].reshape(
             *msgs_var.shape[:-2], self.m, self.dc_max)
 
     def gather_check_to_var(self, msgs_check):
         """[batch, m, dc_max] → [batch, n, dv_max] (var-major view)."""
         flat = msgs_check.reshape(*msgs_check.shape[:-2], self.m * self.dc_max)
+        if self._permutable(msgs_check, self.vc_permute):
+            out = jnp.matmul(flat.astype(jnp.float32), self.vc_permute.T,
+                             preferred_element_type=jnp.float32)
+            return out.astype(msgs_check.dtype).reshape(
+                *msgs_check.shape[:-2], self.n, self.dv_max)
         return flat[..., self.vc_gather.reshape(-1)].reshape(
             *msgs_check.shape[:-2], self.n, self.dv_max)
 

@@ -56,12 +56,70 @@ def _reindex(x, rel):
                                axis=1)
 
 
+# ---------------------------------------------------------------------------
+# one-hot selection algebra (the TPU-fast path)
+#
+# XLA lowers take_along_axis / argsort on TPU to scalar-ish gathers and
+# sorts, which dominate the decode (measured ~95% of SCL wall time).  All
+# of it is replaced by dense one-hot linear algebra the VPU/MXU eat:
+#
+# * stable descending ranks come from an all-pairs comparison matrix
+#   (candidate j precedes i iff cand_j > cand_i, or equal and j < i);
+# * the survivor selection is a [B, L, 2L] one-hot matrix; multiplying by
+#   it *is* the gather, and is exact in f32 (each row sums exactly one
+#   message, scaled by 1.0);
+# * relative permutations compose by matmul of their one-hot matrices.
+# ---------------------------------------------------------------------------
+
+def _stable_topk_onehot(cand, Lsz, dtype):
+    """Stable-descending top-L selection one-hot ``S [B, L, 2L]``.
+
+    ``S[b, s, i] = 1`` iff candidate i holds survivor slot s under the
+    reference's ordering (sort by metric desc, ties by candidate index —
+    exactly Python's stable sort in ``decoder.py:306-307``).
+    """
+    two_l = cand.shape[-1]
+    gt = (cand[..., :, None] < cand[..., None, :])          # [B, i, j]: cand_j > cand_i
+    eq = (cand[..., :, None] == cand[..., None, :])
+    jlti = jnp.tril(jnp.ones((two_l, two_l), bool), k=-1)   # j < i
+    before = gt | (eq & jlti)                                # j precedes i
+    rank = jnp.sum(before, axis=-1, dtype=jnp.int32)         # [B, 2L]
+    slots = jnp.arange(Lsz, dtype=jnp.int32)
+    return (rank[..., None, :] == slots[:, None]).astype(dtype)  # [B, L, 2L]
+
+
+def _sel_apply(S, x):
+    """Apply selection ``S [B, L, J]`` to ``x [B, J, M]`` along the list
+    axis (einsum 'blj,bjm->blm'); exact for one-hot S and finite x."""
+    xf = x.reshape(x.shape[0], x.shape[1], -1)
+    out = jnp.einsum("blj,bjm->blm", S, xf.astype(S.dtype),
+                     preferred_element_type=S.dtype)
+    return out.reshape(x.shape[0], S.shape[1], *x.shape[2:])
+
+
+def _sel_metrics(S, cand):
+    """Select metrics ``[B, J] → [B, L]`` by one-hot ``S [B, L, J]``.
+
+    Masked sum, not matmul: candidates can be −inf (phantom paths) and
+    ``0 × (−inf) = NaN`` would poison a matmul."""
+    return jnp.sum(jnp.where(S != 0, cand[..., None, :], 0), axis=-1)
+
+
+def _sel_apply_bits(S, bits):
+    """Selection applied to int8 bit-planes (values exactly 0/1)."""
+    return _sel_apply(S, bits).astype(jnp.int8)
+
+
 def make_scl_decoder_unrolled(N: int, frozen_mask: np.ndarray, list_size: int,
-                              dtype=jnp.float32):
+                              dtype=jnp.float32, use_onehot: bool = True):
     """Build a jittable unrolled SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
     metrics: [batch, L])`` — same contract as ``scl.make_scl_decoder``.
+
+    ``use_onehot`` (default) runs prune/permute as one-hot matmuls on the
+    MXU/VPU instead of argsort + gathers (which lower to slow scalar code
+    on TPU); outputs are bit-identical either way.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -89,6 +147,12 @@ def make_scl_decoder_unrolled(N: int, frozen_mask: np.ndarray, list_size: int,
             a = alpha[..., 0]
             d0, d1 = _d0_d1(a)
             cand = jnp.concatenate([pm + d0, pm + d1], axis=-1)  # [B, 2L]
+            if use_onehot:
+                S2 = _stable_topk_onehot(cand, Lsz, dtype)       # [B, L, 2L]
+                pm = _sel_metrics(S2, cand)
+                bits = jnp.sum(S2[..., Lsz:], axis=-1).astype(jnp.int8)
+                R = S2[..., :Lsz] + S2[..., Lsz:]                # src selection
+                return bits[..., None], pm, R
             order = jnp.argsort(-cand, axis=-1, stable=True)[:, :Lsz]
             src = (order % Lsz).astype(jnp.int32)
             bits = (order // Lsz).astype(jnp.int8)
@@ -99,13 +163,18 @@ def make_scl_decoder_unrolled(N: int, frozen_mask: np.ndarray, list_size: int,
         a_even, a_odd = alpha[..., 0::2], alpha[..., 1::2]
         beta_e, pm, R_l = node(f_minsum(a_even, a_odd), pm, off, 2 * step, half)
         if R_l is not None:
-            a_even = _reindex(a_even, R_l)
-            a_odd = _reindex(a_odd, R_l)
+            if use_onehot:
+                a_even = _sel_apply(R_l, a_even)
+                a_odd = _sel_apply(R_l, a_odd)
+            else:
+                a_even = _reindex(a_even, R_l)
+                a_odd = _reindex(a_odd, R_l)
         sgn = 1.0 - 2.0 * beta_e.astype(alpha.dtype)
         beta_o, pm, R_r = node(a_odd + sgn * a_even, pm, off + step,
                                2 * step, half)
         if R_r is not None:
-            beta_e = _reindex(beta_e, R_r)
+            beta_e = (_sel_apply_bits(R_r, beta_e) if use_onehot
+                      else _reindex(beta_e, R_r))
         upper = beta_e ^ beta_o
         beta = jnp.stack([upper, beta_o], axis=-1).reshape(
             *upper.shape[:-1], upper.shape[-1] * 2)
@@ -113,6 +182,9 @@ def make_scl_decoder_unrolled(N: int, frozen_mask: np.ndarray, list_size: int,
             R = R_r
         elif R_r is None:
             R = R_l
+        elif use_onehot:  # out = R_r · (R_l · in)  ⇒  R = R_r @ R_l
+            R = jnp.einsum("blj,bjk->blk", R_r, R_l,
+                           preferred_element_type=dtype)
         else:  # state_out[l] = state_mid[R_r[l]] = state_in[R_l[R_r[l]]]
             R = jnp.take_along_axis(R_l, R_r, axis=-1)
         return beta, pm, R
