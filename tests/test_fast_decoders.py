@@ -93,3 +93,38 @@ def test_decoder_classes_accept_impl(rng):
     scl_s = fec.SCLDecoder(64, 32, list_size=4, impl="scan")
     np.testing.assert_array_equal(np.asarray(scl_u.decode(llr)),
                                   np.asarray(scl_s.decode(llr)))
+
+
+def test_onehot_scl_equals_gather(rng):
+    from polarcode_and_ldpc_tpu.models.polar.fastscl import make_scl_decoder_unrolled
+
+    N, L = 64, 8
+    mask = _mask(N, 32)
+    oh = jax.jit(make_scl_decoder_unrolled(N, mask, L, jnp.float32, use_onehot=True))
+    ga = jax.jit(make_scl_decoder_unrolled(N, mask, L, jnp.float32, use_onehot=False))
+    llr = rng.standard_normal((8, N)).astype(np.float32) * 1.5
+    u_o, pm_o = oh(llr)
+    u_g, pm_g = ga(llr)
+    np.testing.assert_array_equal(np.asarray(u_o), np.asarray(u_g))
+    np.testing.assert_allclose(np.asarray(pm_o), np.asarray(pm_g), atol=1e-6)
+
+
+def test_ldpc_matmul_permute_equals_gather(rng):
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.ldpc import graph as graph_mod
+
+    enc = fec.LDPCEncoder(96, 48, dv=3, dc=6, seed=3)
+    llr = (rng.standard_normal((8, 96)) * 3).astype(np.float32)
+    dec_mm = fec.BPDecoder(enc.H, max_iter=15)
+    assert dec_mm.graph.cv_permute is not None
+    old = graph_mod.MATMUL_PERMUTE_MAX_SLOTS
+    try:
+        graph_mod.MATMUL_PERMUTE_MAX_SLOTS = 0
+        dec_g = fec.BPDecoder(enc.H, max_iter=15)
+    finally:
+        graph_mod.MATMUL_PERMUTE_MAX_SLOTS = old
+    assert dec_g.graph.cv_permute is None
+    b_mm, i_mm = dec_mm.decode(llr, return_iterations=True)
+    b_g, i_g = dec_g.decode(llr, return_iterations=True)
+    np.testing.assert_array_equal(np.asarray(b_mm), np.asarray(b_g))
+    np.testing.assert_array_equal(np.asarray(i_mm), np.asarray(i_g))
