@@ -127,19 +127,25 @@ def main() -> None:
     import jax
 
     _log(f"device: {jax.devices()[0]}")
-    ldpc = bench_ldpc_bp()
+    # headline metric first; emit a partial JSON line immediately so a
+    # tunnel stall during the secondary benchmark can't lose the result
+    # (the driver reads the LAST complete line)
     polar = bench_polar_scl8()
     result = {
         "metric": "polar_scl8_n1024_decoded_info_mbps_per_chip",
         "value": round(polar["mbps"], 3),
         "unit": "Mbps",
         "vs_baseline": round(polar["mbps"] / BASELINE_SCL8_N1024_MBPS, 1),
-        "ldpc_bp_n504_mbps": round(ldpc["mbps"], 3),
-        "ldpc_vs_baseline": round(ldpc["mbps"] / BASELINE_BP_N504_MBPS, 1),
         "polar_ber_3db": polar["ber_3db"],
-        "ldpc_ber_3db": ldpc["ber_3db"],
         "device": str(jax.devices()[0]),
     }
+    print(json.dumps(result), flush=True)
+    ldpc = bench_ldpc_bp()
+    result.update(
+        ldpc_bp_n504_mbps=round(ldpc["mbps"], 3),
+        ldpc_vs_baseline=round(ldpc["mbps"] / BASELINE_BP_N504_MBPS, 1),
+        ldpc_ber_3db=ldpc["ber_3db"],
+    )
     print(json.dumps(result))
 
 

@@ -25,15 +25,22 @@ from ..models.polar.scl import SCLDecoder
 from ..models.polar.construction import construct_polar_code
 
 
+def _force(out) -> None:
+    """Force completion by fetching one output element — on remote-TPU
+    tunnels ``block_until_ready`` can acknowledge before execution ends."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
 def time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
     """Steady-state seconds per call (compilation excluded)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
