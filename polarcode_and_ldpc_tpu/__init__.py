@@ -38,6 +38,7 @@ from .models.ldpc import (
     OMSDecoder,
     generate_ldpc_matrix,
     mackay_construction,
+    regular_construction,
     peg_construction,
     create_systematic_generator,
     check_matrix_rank,
@@ -68,6 +69,7 @@ __all__ = [
     "OMSDecoder",
     "generate_ldpc_matrix",
     "mackay_construction",
+    "regular_construction",
     "peg_construction",
     "create_systematic_generator",
     "check_matrix_rank",

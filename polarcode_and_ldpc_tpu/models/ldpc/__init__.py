@@ -2,6 +2,7 @@
 
 from .matrix import (
     mackay_construction,
+    regular_construction,
     generate_ldpc_matrix,
     peg_construction,
     create_systematic_generator,
@@ -23,6 +24,7 @@ from .utils import (
 
 __all__ = [
     "mackay_construction",
+    "regular_construction",
     "generate_ldpc_matrix",
     "peg_construction",
     "create_systematic_generator",

@@ -121,10 +121,16 @@ def make_bp_decoder(graph: TannerGraph, max_iter: int = 50, early_stop: bool = T
 
 class BPDecoder:
     """Batched sum-product decoder (reference API:
-    ``src/ldpc/decoder.py:11-205``)."""
+    ``src/ldpc/decoder.py:11-205``).
+
+    ``impl``: ``"xla"`` (portable default), ``"pallas"`` (the fused TPU
+    kernel in ``ops/bp_pallas.py`` — bit-identical, requires a TPU backend
+    and a code whose padded-edge tensors fit VMEM), or ``"auto"`` (pallas
+    when available, else xla).
+    """
 
     def __init__(self, H: np.ndarray, max_iter: int = 50, early_stop: bool = True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, impl: str = "xla", pallas_batch_tile: int = 128):
         self.H = np.asarray(H)
         self.m, self.n = self.H.shape
         self.max_iter = max_iter
@@ -132,6 +138,34 @@ class BPDecoder:
         self.graph = TannerGraph.from_H(self.H)
         self.dtype = dtype
         self._decode = jax.jit(make_bp_decoder(self.graph, max_iter, early_stop, dtype))
+        self._pallas_tile = pallas_batch_tile
+        self._decode_pallas = None
+        if impl in ("pallas", "auto"):
+            from ...ops.bp_pallas import make_bp_decoder_pallas, pallas_supported
+
+            supported = (pallas_supported(self.graph, pallas_batch_tile)
+                         and jax.default_backend() == "tpu"
+                         and dtype == jnp.float32)
+            if supported:
+                self._decode_pallas = jax.jit(make_bp_decoder_pallas(
+                    self.graph, max_iter, early_stop, pallas_batch_tile))
+            elif impl == "pallas":
+                raise ValueError(
+                    "pallas BP unavailable: needs a TPU backend, float32, and "
+                    "a code whose edge tensors fit VMEM")
+        self.impl = "pallas" if self._decode_pallas is not None else "xla"
+
+    def _run(self, llr):
+        if self._decode_pallas is None:
+            return self._decode(llr)
+        B = llr.shape[0]
+        tile = self._pallas_tile
+        pad = (-B) % tile
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
+        bits, iters = self._decode_pallas(llr)
+        return bits[:B], iters[:B]
 
     def decode(self, llr, return_iterations: bool = False):
         """Decode ``[n]`` or ``[batch, n]`` LLRs to hard bits (full codeword).
@@ -141,7 +175,7 @@ class BPDecoder:
         """
         llr = jnp.asarray(llr, self.dtype)
         squeeze = llr.ndim == 1
-        bits, iters = self._decode(jnp.atleast_2d(llr))
+        bits, iters = self._run(jnp.atleast_2d(llr))
         if squeeze:
             bits, iters = bits[0], iters[0]
         return (bits, iters) if return_iterations else bits

@@ -30,16 +30,57 @@ def mackay_construction(n: int, k: int, dv: int, dc: int,
     return H
 
 
+def regular_construction(n: int, k: int, dv: int, dc: int,
+                         seed: Optional[int] = None,
+                         max_repair_rounds: int = 1000) -> np.ndarray:
+    """(dv, dc)-regular Gallager-style H via random stub matching.
+
+    Exact column degree ``dv`` AND exact row degree ``dc`` (the reference's
+    MacKay constructor leaves rows unbalanced — measured degrees 0..13 for
+    n=504 — which both hurts the code and inflates the padded-edge tensors
+    the TPU decoders size themselves by).  Duplicate row assignments within
+    a column are repaired by swapping stubs between columns.
+    """
+    m = n - k
+    if dv * n != dc * m:
+        raise ValueError(f"degree constraint not satisfied: dv*n={dv * n} != dc*m={dc * m}")
+    rng = np.random.default_rng(seed)
+    stubs = np.repeat(np.arange(m), dc)
+    rng.shuffle(stubs)
+    cols = stubs.reshape(n, dv)
+    for _ in range(max_repair_rounds):
+        bad = [c for c in range(n) if len(np.unique(cols[c])) < dv]
+        if not bad:
+            break
+        for c in bad:
+            vals, counts = np.unique(cols[c], return_counts=True)
+            dup = vals[counts > 1][0]
+            slot = int(np.where(cols[c] == dup)[0][-1])
+            c2 = int(rng.integers(n))
+            s2 = int(rng.integers(dv))
+            # swap keeps both row and column degree counts intact
+            cols[c, slot], cols[c2, s2] = cols[c2, s2], cols[c, slot]
+    else:
+        raise RuntimeError("stub-matching repair did not converge")
+    H = np.zeros((m, n), dtype=np.int64)
+    for c in range(n):
+        H[cols[c], c] = 1
+    return H
+
+
 def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
                          dc: int = 6, seed: Optional[int] = None) -> np.ndarray:
-    """Dispatching constructor (reference ``matrix.py:53-91``)."""
+    """Dispatching constructor (reference ``matrix.py:53-91``; ``regular``
+    is new — see :func:`regular_construction`)."""
     m = n - k
-    if method == "mackay":
+    if method in ("mackay", "regular", "gallager"):
         if dv * n != dc * m:
             dc = (dv * n) // m
             if dv * n % m != 0:
                 print(f"Warning: adjusted dc to {dc} to satisfy constraints")
-        return mackay_construction(n, k, dv, dc, seed)
+        if method == "mackay":
+            return mackay_construction(n, k, dv, dc, seed)
+        return regular_construction(n, k, dv, dc, seed)
     if method == "peg":
         return peg_construction(n, k, dv)
     if method == "random":

@@ -1,0 +1,237 @@
+"""Fully-fused LDPC BP decode as one Pallas TPU kernel.
+
+The XLA decoder (``models/ldpc/bp.py``) issues ~10 HBM-roundtrip ops per
+iteration; this kernel keeps *all* state — per-slot message planes and the
+one-hot edge-permutation tensor — resident in VMEM for the entire decode,
+so the only HBM traffic is the LLRs in and the bits out.
+
+Layout (per ``TannerGraph``'s dense padded-edge design, ``graph.py``):
+
+* var-major messages: ``dv_max`` planes of ``[Bt, n]`` (slot-major);
+* check-major messages: ``dc_max`` planes of ``[Bt, m]``;
+* the two layouts are linked by ``P[s', s, v, c] = 1`` iff check *c*'s
+  slot-*s* edge is variable *v*'s slot-*s'* edge.  The var→check move is
+  ``C_s = Σ_{s'} V_{s'} @ P[s',s]`` (MXU, exact: each output column sums
+  exactly one message) and the reverse direction reuses the *same* tensor
+  with the contraction on the other axis — no second permutation tensor.
+* syndrome: ``parity = (bits @ H) mod 2``; per-frame convergence latching
+  matches the XLA decoder (first converged bits + true iteration count),
+  and once every frame in the tile converged the remaining iterations are
+  predicated off with ``pl.when``.
+
+Numerics are the exact reference semantics (tanh clip ±0.999999,
+leave-one-out via exclusive products, total−self variable update,
+``total ≤ 0 → 1``), so outputs are bit-identical to ``models/ldpc/bp.py``
+in float32 (pinned by tests).
+
+VMEM budget: the permutation tensor is ``dv·dc·n·m`` f32 — ~9 MB for the
+flagship n=504 code.  ``pallas_supported()`` gates on it; larger codes use
+the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ldpc.graph import TannerGraph
+
+_TANH_CLIP = 0.999999
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pallas_supported(graph: TannerGraph, batch_tile: int = 128) -> bool:
+    """True when the fused kernel's VMEM working set fits."""
+    if not pallas_available():
+        return False
+    perm = graph.dv_max * graph.dc_max * graph.n * graph.m * 4
+    msgs = batch_tile * (graph.dv_max * graph.n + graph.dc_max * graph.m) * 4
+    work = batch_tile * graph.n * 4 * 4
+    return perm + msgs + work <= _VMEM_BUDGET_BYTES
+
+
+def _build_perm_tensor(graph: TannerGraph) -> np.ndarray:
+    """P [dv, dc, n, m] one-hot edge permutation (see module docstring)."""
+    dv, dc, n, m = graph.dv_max, graph.dc_max, graph.n, graph.m
+    P = np.zeros((dv, dc, n, m), np.float32)
+    cv = np.asarray(graph.cv_gather)      # [m, dc] flat var-major index v*dv+s'
+    mask = np.asarray(graph.check_mask)   # [m, dc]
+    for c in range(m):
+        for s in range(dc):
+            if mask[c, s]:
+                flat = int(cv[c, s])
+                v, sp = flat // dv, flat % dv
+                P[sp, s, v, c] = 1.0
+    return P
+
+
+def make_bp_decoder_pallas(
+    graph: TannerGraph,
+    max_iter: int = 20,
+    early_stop: bool = True,
+    batch_tile: int = 128,
+    interpret: bool = False,
+):
+    """Build the fused decoder: ``decode(llr [B, n]) → (bits int8 [B, n],
+    iters int32 [B])``.  B must be a multiple of ``batch_tile`` (the public
+    wrapper pads)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = graph
+    dv, dc, n, m = g.dv_max, g.dc_max, g.n, g.m
+    Bt = batch_tile
+    P_host = _build_perm_tensor(g)
+    H_host = np.zeros((n, m), np.float32)  # H^T as [n, m]
+    cv = np.asarray(g.check_vars)
+    cmask_host = np.asarray(g.check_mask)
+    for c in range(m):
+        for s in range(dc):
+            if cmask_host[c, s]:
+                H_host[int(cv[c, s]), c] = 1.0
+    cmask_f = cmask_host.T.astype(np.float32)          # [dc, m]
+    vmask_f = np.asarray(g.var_mask).T.astype(np.float32)  # [dv, n]
+
+    def kernel(llr_ref, P_ref, H_ref, cmask_ref, vmask_ref,
+               bits_ref, iters_ref,
+               V, C, latched, done, state):
+        llr = llr_ref[:]                       # [Bt, n]
+        cmask = cmask_ref[:]                   # [dc, m]
+        vmask = vmask_ref[:]                   # [dv, n]
+        for sp in range(dv):
+            V[sp] = llr                        # init v2c = channel LLR
+        # initial hard decision (iteration-0 bits, decoder.py:139-148)
+        latched[:] = (llr <= 0).astype(jnp.float32)
+        done[:] = jnp.zeros((Bt, 1), jnp.float32)
+        iters_ref[:] = jnp.full((Bt, 1), max_iter, jnp.int32)
+        state[0, 0] = 0  # all_done flag
+
+        def iteration(it, _):
+            @pl.when(state[0, 0] == 0)
+            def _():
+                # --- check-node update (decoder.py:62-96) -------------------
+                ts = []
+                for s in range(dc):
+                    acc = jnp.zeros((Bt, m), jnp.float32)
+                    for sp in range(dv):
+                        acc += jax.lax.dot_general(
+                            V[sp], P_ref[sp, s],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    t = jnp.clip(jnp.tanh(acc * 0.5), -_TANH_CLIP, _TANH_CLIP)
+                    ts.append(jnp.where(cmask[s][None, :] > 0, t, 1.0))
+                # exclusive products over the dc slots (no division)
+                pre = [None] * dc
+                suf = [None] * dc
+                run = jnp.ones((Bt, m), jnp.float32)
+                for s in range(dc):
+                    pre[s] = run
+                    run = run * ts[s]
+                run = jnp.ones((Bt, m), jnp.float32)
+                for s in range(dc - 1, -1, -1):
+                    suf[s] = run
+                    run = run * ts[s]
+                for s in range(dc):
+                    prod = jnp.clip(pre[s] * suf[s], -_TANH_CLIP, _TANH_CLIP)
+                    # Mosaic has no atanh primitive; this is XLA's own
+                    # lowering (atanh = (log1p(x) − log1p(−x))/2), so the
+                    # result stays bit-identical to the XLA decoder
+                    C[s] = jnp.log1p(prod) - jnp.log1p(-prod)
+                # --- variable-node update (decoder.py:98-122) ---------------
+                c2v = []
+                for sp in range(dv):
+                    acc = jnp.zeros((Bt, n), jnp.float32)
+                    for s in range(dc):
+                        acc += jax.lax.dot_general(
+                            C[s], P_ref[sp, s],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    c2v.append(jnp.where(vmask[sp][None, :] > 0, acc, 0.0))
+                totals = llr
+                for sp in range(dv):
+                    totals = totals + c2v[sp]
+                for sp in range(dv):
+                    V[sp] = totals - c2v[sp]
+                bits = (totals <= 0).astype(jnp.float32)
+                # --- syndrome + per-frame latching (decoder.py:191-202) -----
+                if early_stop:
+                    sums = jax.lax.dot_general(
+                        bits, H_ref[:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    parity = sums - 2.0 * jnp.floor(sums * 0.5)
+                    ok = (jnp.sum(parity, axis=1, keepdims=True) == 0
+                          ).astype(jnp.float32)                 # [Bt, 1]
+                    newly = ok * (1.0 - done[:])
+                    latched[:] = jnp.where(newly > 0, bits, latched[:])
+                    iters_ref[:] = jnp.where(
+                        newly > 0, jnp.full((Bt, 1), it + 1, jnp.int32),
+                        iters_ref[:])
+                    done[:] = jnp.maximum(done[:], ok)
+                    state[0, 0] = (jnp.sum(done[:]) == Bt).astype(jnp.int32)
+                    # non-converged frames report the latest bits
+                    latched[:] = jnp.where(done[:] > 0, latched[:], bits)
+                else:
+                    # reference early_stop=False: final bits, iters=max_iter
+                    latched[:] = bits
+            return 0
+
+        jax.lax.fori_loop(0, max_iter, iteration, 0)
+        bits_ref[:] = latched[:].astype(jnp.int8)
+
+    def decode(llr):
+        llr = jnp.asarray(llr, jnp.float32)
+        B = llr.shape[0]
+        assert B % Bt == 0, f"batch {B} must be a multiple of tile {Bt}"
+        bits, iters = pl.pallas_call(
+            kernel,
+            grid=(B // Bt,),
+            in_specs=[
+                pl.BlockSpec((Bt, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dv, dc, n, m), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, m), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dc, m), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dv, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Bt, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n), jnp.int8),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((dv, Bt, n), jnp.float32),
+                pltpu.VMEM((dc, Bt, m), jnp.float32),
+                pltpu.VMEM((Bt, n), jnp.float32),
+                pltpu.VMEM((Bt, 1), jnp.float32),
+                pltpu.SMEM((1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(llr, jnp.asarray(P_host), jnp.asarray(H_host),
+          jnp.asarray(cmask_f), jnp.asarray(vmask_f))
+        return bits, iters[:, 0]
+
+    return decode
