@@ -54,17 +54,29 @@ def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return best
 
 
-def _awgn_llrs(codewords, snr_db: float, seed: int):
-    """One fused jitted program for the channel (eager per-op dispatch is
-    prohibitively slow over a remote-TPU tunnel)."""
-    import jax
-    import jax.numpy as jnp
+def _awgn_llrs_host(codewords, snr_db: float, seed: int):
+    """Host-side NumPy channel (exact reference semantics via parity/).
 
-    from polarcode_and_ldpc_tpu.channels.awgn import awgn_transmit
+    Every device compile over the remote-TPU tunnel can stall for minutes;
+    the benchmark therefore compiles ONLY the two decoders and stages all
+    inputs from the host."""
+    from polarcode_and_ldpc_tpu.parity.channel_np import awgn_llr_np
 
-    fn = jax.jit(lambda key, cw: awgn_transmit(key, cw, snr_db))
-    return jax.block_until_ready(fn(jax.random.PRNGKey(seed),
-                                    jnp.asarray(codewords, jnp.int8)))
+    noise = np.random.default_rng(seed).standard_normal(codewords.shape)
+    return awgn_llr_np(codewords, snr_db, noise).astype(np.float32)
+
+
+def _polar_encode_host(msgs, N, info_bits):
+    """Vectorized NumPy butterfly encode (reference utils.py:219-228)."""
+    u = np.zeros((msgs.shape[0], N), np.int64)
+    u[:, info_bits] = msgs
+    s = 1
+    while s < N:
+        u = u.reshape(msgs.shape[0], N // (2 * s), 2, s)
+        u[:, :, 0, :] ^= u[:, :, 1, :]
+        u = u.reshape(msgs.shape[0], N)
+        s *= 2
+    return u
 
 
 def bench_polar_scl8(batch: int = 128) -> dict:
@@ -73,16 +85,22 @@ def bench_polar_scl8(batch: int = 128) -> dict:
     import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
 
+    import jax.numpy as jnp
+
+    from polarcode_and_ldpc_tpu.models.polar.construction import (
+        frozen_mask_from_positions,
+    )
+
     N, K, L, snr_db = 1024, 512, 8, 3.0
-    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
-    enc = fec.PolarEncoder(N, K, frozen_bits=frozen)
+    frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    frozen_mask = frozen_mask_from_positions(N, frozen)
     msgs = np.random.default_rng(0).integers(0, 2, (batch, K)).astype(np.int8)
-    _log("polar: encoding + channel ...")
-    cw = jax.block_until_ready(enc.encode(msgs))
-    llr = _awgn_llrs(cw, snr_db, seed=42)
+    _log("polar: encoding + channel (host) ...")
+    cw = _polar_encode_host(msgs, N, info_bits)
+    llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=42))
 
     _log("polar: compiling SCL-8 N=1024 ...")
-    decode = jax.jit(make_scl_decoder(N, enc.frozen_mask, L))
+    decode = jax.jit(make_scl_decoder(N, frozen_mask, L))
     t_first = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(decode(llr))
     _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
@@ -90,7 +108,7 @@ def bench_polar_scl8(batch: int = 128) -> dict:
     mbps = batch * K / t / 1e6
     # correctness spot-check on host (argmax-metric path selection)
     u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
-    best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, enc.info_bits]
+    best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info_bits]
     ber = float((best != msgs).mean())
     _log(f"polar: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
@@ -101,13 +119,15 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
 
     import polarcode_and_ldpc_tpu as fec
 
+    import jax.numpy as jnp
+
     n, k, snr_db = 504, 252, 3.0
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
     dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True)
     msgs = np.random.default_rng(1).integers(0, 2, (batch, enc.k)).astype(np.int8)
-    _log("ldpc: encoding + channel ...")
-    cw = jax.block_until_ready(enc.encode(msgs))
-    llr = _awgn_llrs(cw, snr_db, seed=43)
+    _log("ldpc: encoding + channel (host) ...")
+    cw = (msgs.astype(np.int64) @ np.asarray(enc.G)) % 2
+    llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=43))
 
     _log("ldpc: compiling BP n=504 ...")
     t_first = time.perf_counter()
@@ -115,7 +135,7 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
     _log(f"ldpc: compile+first run {time.perf_counter() - t_first:.1f}s")
     t = _time_steady_state(dec._decode, llr)
     mbps = batch * enc.k / t / 1e6
-    ber = float((np.asarray(enc.extract_message(bits)) != msgs).mean())
+    ber = float((np.asarray(bits)[:, enc.info_positions] != msgs).mean())
     _log(f"ldpc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
 
