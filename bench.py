@@ -79,7 +79,10 @@ def _polar_encode_host(msgs, N, info_bits):
     return u
 
 
-def bench_polar_scl8(batch: int = 128) -> dict:
+def bench_polar_scl8(batch: int = 512) -> dict:
+    # batch sweep on v5e (honest timing): 256 → 9.9 Mbps, 512 → ~15 Mbps,
+    # 1024 → ~20 Mbps; compile time grows too (113/200/285 s), 512 is the
+    # budget-safe point for the driver's bench window
     import jax
 
     import polarcode_and_ldpc_tpu as fec
