@@ -82,17 +82,22 @@ class LDPCEncoder:
                 raise ValueError(f"G shape {G.shape} doesn't match (n,k) or (k,n)")
             self.P = None
         else:
-            self.G, self.P = create_systematic_generator(self.H)
+            # one right-side-pivot elimination covers both cases: when the
+            # last m columns are nonsingular its result IS the systematic
+            # G = [I | Pᵀ] (info = 0..k−1); otherwise it yields a general
+            # information set — the reference's per-frame direct solve
+            # silently fails there (encoder.py:97-131)
+            self.P = None
+            self.G, info = encodable_form(self.H, k)
             if self.G is None:
-                # reference falls back to a per-frame GF(2) solve that silently
-                # fails on singular H₂ (encoder.py:97-131); instead pick a
-                # general information set (see matrix.encodable_form)
-                self.G, self.info_positions = encodable_form(self.H, k)
-                if self.G is None:
-                    print("Warning: H admits no rank-compatible information set; "
-                          "encoding will return zero codewords")
-                else:
-                    self.use_direct_solving = True  # reference-API flag name
+                print("Warning: H admits no rank-compatible information set; "
+                      "encoding will return zero codewords")
+            else:
+                self.info_positions = np.asarray(info, dtype=np.int64)
+                systematic = bool((self.info_positions == np.arange(k)).all())
+                if systematic:
+                    self.P = self.G[:, k:].T  # G = [I | Pᵀ] ⇒ recover P
+                self.use_direct_solving = not systematic  # reference flag name
 
         self._G_dev = jnp.asarray(self.G, jnp.int32) if self.G is not None else None
         self._encode_jit = jax.jit(self._encode_impl)

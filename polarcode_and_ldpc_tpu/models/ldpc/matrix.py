@@ -107,6 +107,36 @@ def peg_construction(n: int, k: int, dv: int) -> np.ndarray:
     return H
 
 
+# -- packed GF(2) row operations ---------------------------------------------
+# Rows live as uint64 bitset words: elimination slabs move 64× less memory
+# than uint8 matrices (n=8192 systematic-G build: 244 s → seconds).
+
+def _gf2_pack(W: np.ndarray) -> np.ndarray:
+    m, n = W.shape
+    nbytes = ((n + 63) // 64) * 8
+    packed = np.packbits(W.astype(np.uint8), axis=1, bitorder="little")
+    out = np.zeros((m, nbytes), np.uint8)
+    out[:, : packed.shape[1]] = packed
+    return out.view(np.uint64)
+
+
+def _gf2_unpack(Wp: np.ndarray, n: int) -> np.ndarray:
+    return np.unpackbits(Wp.view(np.uint8), axis=1, bitorder="little")[:, :n]
+
+
+def _gf2_col(Wp: np.ndarray, col: int) -> np.ndarray:
+    w, b = divmod(col, 64)
+    return ((Wp[:, w] >> np.uint64(b)) & np.uint64(1)).astype(bool)
+
+
+def _gf2_eliminate(Wp: np.ndarray, pivot_row: int, col: int) -> None:
+    """XOR the pivot row into every other row with a 1 in ``col``."""
+    m = Wp.shape[0]
+    elim = _gf2_col(Wp, col)
+    elim[pivot_row] = False
+    Wp[elim] ^= Wp[pivot_row]
+
+
 def create_systematic_generator(H: np.ndarray) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """Row-reduce H to [P | I] and return G = [I | Pᵀ]
     (reference ``matrix.py:135-187``).  Returns (None, None) if the last m
@@ -114,21 +144,17 @@ def create_systematic_generator(H: np.ndarray) -> Tuple[Optional[np.ndarray], Op
     H = np.asarray(H)
     m, n = H.shape
     k = n - m
-    W = (H.copy() % 2).astype(np.uint8)
+    Wp = _gf2_pack(H % 2)
     for i in range(m):
         col = n - m + i
-        pivot = None
-        for j in range(i, m):
-            if W[j, col]:
-                pivot = j
-                break
-        if pivot is None:
+        hits = np.nonzero(_gf2_col(Wp, col)[i:])[0]
+        if hits.size == 0:
             return None, None
+        pivot = i + int(hits[0])
         if pivot != i:
-            W[[i, pivot]] = W[[pivot, i]]
-        elim = (W[:, col] == 1) & (np.arange(m) != i)
-        W[elim] ^= W[i]
-    P = W[:, :k].astype(np.int64)
+            Wp[[i, pivot]] = Wp[[pivot, i]]
+        _gf2_eliminate(Wp, i, col)
+    P = _gf2_unpack(Wp, n)[:, :k].astype(np.int64)
     G = np.hstack([np.eye(k, dtype=np.int64), P.T])
     return G, P
 
@@ -146,22 +172,22 @@ def encodable_form(H: np.ndarray, k: int):
     """
     H = (np.asarray(H) % 2).astype(np.uint8)
     m, n = H.shape
-    W = H.copy()
+    Wp = _gf2_pack(H)
     pivot_cols: list[int] = []
     pivot_row = 0
     for col in range(n - 1, -1, -1):  # prefer right-side pivots → parity on the right
         if pivot_row >= m:
             break
-        hit = np.nonzero(W[pivot_row:, col])[0]
+        hit = np.nonzero(_gf2_col(Wp, col)[pivot_row:])[0]
         if hit.size == 0:
             continue
-        pr = pivot_row + hit[0]
+        pr = pivot_row + int(hit[0])
         if pr != pivot_row:
-            W[[pivot_row, pr]] = W[[pr, pivot_row]]
-        elim = (W[:, col] == 1) & (np.arange(m) != pivot_row)
-        W[elim] ^= W[pivot_row]
+            Wp[[pivot_row, pr]] = Wp[[pr, pivot_row]]
+        _gf2_eliminate(Wp, pivot_row, col)
         pivot_cols.append(col)
         pivot_row += 1
+    W = _gf2_unpack(Wp, n)
     free_cols = sorted(set(range(n)) - set(pivot_cols))
     if len(free_cols) < k:
         return None, None
@@ -169,36 +195,32 @@ def encodable_form(H: np.ndarray, k: int):
     extra_free = free_cols[k:]  # rank-deficient H: surplus free columns stay 0
     G = np.zeros((k, n), dtype=np.int64)
     G[np.arange(k), info] = 1
-    # each pivot row r reads: x[pivot_cols[r]] = XOR of its free-column entries
-    for r, pc in enumerate(pivot_cols):
-        row = W[r]
-        for j, ic in enumerate(info):
-            if row[ic]:
-                G[j, pc] = 1
-        # extra free columns are fixed to zero → contribute nothing
-    assert not np.any((H @ G.T) % 2), "encodable_form produced invalid generator"
+    # each pivot row r reads: x[pivot_cols[r]] = XOR of its free-column
+    # entries; extra free columns are fixed to zero → contribute nothing
+    npiv = len(pivot_cols)
+    G[:, np.asarray(pivot_cols, dtype=np.int64)] = W[:npiv][:, info].T
+    # validity check in f32 BLAS (exact: row sums ≪ 2^24; int64 matmul has
+    # no BLAS path and costs minutes at n=8192)
+    syn = H.astype(np.float32) @ G.T.astype(np.float32)
+    assert not np.any(syn % 2), "encodable_form produced invalid generator"
     return G, info
 
 
 def gf2_rank(H: np.ndarray) -> int:
-    """Rank of H over GF(2) by XOR Gaussian elimination."""
-    W = (np.asarray(H) % 2).astype(np.uint8).copy()
-    m, n = W.shape
+    """Rank of H over GF(2) by packed XOR Gaussian elimination."""
+    Wp = _gf2_pack(np.asarray(H) % 2)
+    m, n = np.asarray(H).shape
     rank = 0
     for col in range(n):
         if rank >= m:
             break
-        pivot = None
-        for row in range(rank, m):
-            if W[row, col]:
-                pivot = row
-                break
-        if pivot is None:
+        hits = np.nonzero(_gf2_col(Wp, col)[rank:])[0]
+        if hits.size == 0:
             continue
+        pivot = rank + int(hits[0])
         if pivot != rank:
-            W[[rank, pivot]] = W[[pivot, rank]]
-        elim = (W[:, col] == 1) & (np.arange(m) != rank)
-        W[elim] ^= W[rank]
+            Wp[[rank, pivot]] = Wp[[pivot, rank]]
+        _gf2_eliminate(Wp, rank, col)
         rank += 1
     return rank
 
