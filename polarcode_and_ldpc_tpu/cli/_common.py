@@ -14,6 +14,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "--xla_force_host_platform_device_count)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard frames over all visible devices")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host pod run: call jax.distributed."
+                             "initialize() before anything else (implies --mesh)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-dir", default="results")
 
@@ -30,6 +33,9 @@ def setup_platform(args) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
+        args.mesh = True
 
 
 def get_mesh(args):

@@ -21,7 +21,11 @@ def mackay_construction(n: int, k: int, dv: int, dc: int,
     not enforced (noted in the reference at ``matrix.py:46-49``)."""
     m = n - k
     if dv * n != dc * m:
-        raise ValueError(f"degree constraint not satisfied: dv*n={dv * n} != dc*m={dc * m}")
+        # row degrees are not enforced by this construction, so a non-exact
+        # product only changes the *average* row degree (reference behavior:
+        # the harness auto-adjusts dc and proceeds, matrix.py:74-78)
+        print(f"Warning: dv*n={dv * n} != dc*m={dc * m}; average row degree "
+              f"will be {dv * n / m:.2f}")
     rng = np.random.RandomState(seed) if seed is not None else np.random
     H = np.zeros((m, n), dtype=np.int64)
     for col in range(n):
