@@ -4,6 +4,7 @@ reference-compatible BER/FER accounting (reference
 
 from .montecarlo import ChunkStats, MonteCarloResult, MonteCarloSimulator
 from .pipelines import (
+    make_channel_fn,
     make_ldpc_pipeline,
     make_montecarlo_step,
     make_polar_pipeline,
@@ -15,6 +16,7 @@ __all__ = [
     "MonteCarloResult",
     "MonteCarloSimulator",
     "make_montecarlo_step",
+    "make_channel_fn",
     "make_polar_pipeline",
     "make_ldpc_pipeline",
     "run_snr_sweep",

@@ -81,6 +81,45 @@ def _awgn_channel_fn(snr_db: float, dtype=jnp.float32):
     return channel
 
 
+def make_channel_fn(kind: str = "awgn", snr_db: float = 3.0,
+                    crossover_prob: float = 0.1, k_factor: float = 1.0,
+                    dtype=jnp.float32):
+    """Per-frame-keyed channel builder for the Monte-Carlo pipelines.
+
+    ``kind``: ``awgn`` | ``bsc`` | ``rayleigh`` | ``rician`` (the full
+    reference channel family, ``src/channel/``; BSC produces ±log((1−p)/p)
+    LLRs so the soft decoders can consume it).
+    """
+    if kind == "awgn":
+        return _awgn_channel_fn(snr_db, dtype)
+    if kind == "bsc":
+        from ..channels.bsc import bsc_llr, bsc_transmit
+
+        def channel(keys, cw):
+            out = jax.vmap(lambda k, c: bsc_transmit(k, c, crossover_prob))(keys, cw)
+            return bsc_llr(out, crossover_prob, dtype)
+
+        return channel
+    if kind == "rayleigh":
+        from ..channels.fading import rayleigh_transmit
+
+        def channel(keys, cw):
+            return jax.vmap(
+                lambda k, c: rayleigh_transmit(k, c, snr_db, dtype=dtype))(keys, cw)
+
+        return channel
+    if kind == "rician":
+        from ..channels.fading import rician_transmit
+
+        def channel(keys, cw):
+            return jax.vmap(
+                lambda k, c: rician_transmit(k, c, snr_db, k_factor, dtype=dtype))(
+                keys, cw)
+
+        return channel
+    raise ValueError(f"unknown channel kind: {kind!r}")
+
+
 def make_polar_pipeline(
     N: int,
     K: int,

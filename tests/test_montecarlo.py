@@ -110,3 +110,18 @@ def test_snr_sweep_schema_and_monotonicity():
     assert out["frames_tested"] == [300, 300]
     assert out["ber"][0] > out["ber"][1]  # higher SNR → lower BER
     assert out["throughput_mbps"][0] > 0
+
+
+def test_all_channel_kinds():
+    from polarcode_and_ldpc_tpu.sim import make_channel_fn
+
+    N, K = 64, 32
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    for kind, kw in [("awgn", {"snr_db": 4.0}), ("bsc", {"crossover_prob": 0.02}),
+                     ("rayleigh", {"snr_db": 14.0}),
+                     ("rician", {"snr_db": 10.0, "k_factor": 4.0})]:
+        step = make_polar_pipeline(N, K, frozen, 4.0, decoder="sc",
+                                   channel_fn=make_channel_fn(kind, **kw))
+        res = MonteCarloSimulator(step, K, chunk_frames=64).run(128, seed=4)
+        assert res.frames == 128
+        assert res.ber < 0.2, kind  # decodes meaningfully on every channel
