@@ -8,8 +8,8 @@ number is ≈5e-4 Mbps (BASELINE.md, extrapolated from its committed results);
 
 Prints ONE JSON line to stdout:
 ``{"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N, ...}``
-(progress goes to stderr; compiled programs persist in .jax_cache so
-subsequent runs skip the one-time SCL compilation).
+(progress goes to stderr; the headline line is also emitted early so a
+tunnel stall in the secondary benchmark cannot lose it).
 """
 
 from __future__ import annotations
@@ -29,15 +29,12 @@ def _log(msg: str) -> None:
 
 
 def _force(out) -> None:
-    """Force real completion: fetch one element of the first output leaf.
-
+    """Force real completion (see ``sim.throughput._force``:
     ``block_until_ready`` over the remote-TPU tunnel can acknowledge before
-    execution finishes (measured: 0.1 ms "latency" for a 268 ms program);
-    a device→host fetch of any output element cannot."""
-    import jax
+    execution finishes — measured 0.1 ms "latency" for a 268 ms program)."""
+    from polarcode_and_ldpc_tpu.sim.throughput import _force as f
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.reshape(-1)[:1])
+    f(out)
 
 
 def _time_steady_state(fn, *args, warmup: int = 2, iters: int = 10) -> float:
@@ -85,14 +82,13 @@ def bench_polar_scl8(batch: int = 512) -> dict:
     # budget-safe point for the driver's bench window
     import jax
 
-    import polarcode_and_ldpc_tpu as fec
-    from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
-
     import jax.numpy as jnp
 
+    import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.models.polar.construction import (
         frozen_mask_from_positions,
     )
+    from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
 
     N, K, L, snr_db = 1024, 512, 8, 3.0
     frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
@@ -119,10 +115,9 @@ def bench_polar_scl8(batch: int = 512) -> dict:
 
 def bench_ldpc_bp(batch: int = 1024) -> dict:
     import jax
+    import jax.numpy as jnp
 
     import polarcode_and_ldpc_tpu as fec
-
-    import jax.numpy as jnp
 
     n, k, snr_db = 504, 252, 3.0
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)

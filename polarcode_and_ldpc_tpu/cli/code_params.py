@@ -35,9 +35,8 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     setup_platform(args)
 
-    from ..core.config import SimulationConfig
+    from ..core.config import LDPCCodeConfig, PolarCodeConfig, SimulationConfig
     from ..sim.experiments import simulate_ldpc, simulate_polar, test_code_lengths
-    from ..core.config import LDPCCodeConfig, PolarCodeConfig
     from ..utils import save_results
 
     mesh = get_mesh(args)

@@ -10,9 +10,9 @@ layer backs every CLI: YAML provides defaults, CLI flags override.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 
 @dataclass

@@ -18,8 +18,6 @@ semantics preserved exactly:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .matrix import create_systematic_generator, encodable_form, generate_ldpc_matrix
+from .matrix import encodable_form, generate_ldpc_matrix
 
 
 def gf2_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:

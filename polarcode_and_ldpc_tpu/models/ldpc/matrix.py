@@ -135,7 +135,6 @@ def _gf2_col(Wp: np.ndarray, col: int) -> np.ndarray:
 
 def _gf2_eliminate(Wp: np.ndarray, pivot_row: int, col: int) -> None:
     """XOR the pivot row into every other row with a 1 in ``col``."""
-    m = Wp.shape[0]
     elim = _gf2_col(Wp, col)
     elim[pivot_row] = False
     Wp[elim] ^= Wp[pivot_row]

@@ -13,8 +13,6 @@ implemented — provided here: magnitude ``max(min − β, 0)``.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ of kernels.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -32,13 +32,10 @@ gathers, no conds, no scan-carried (n+1)×N state.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .construction import frozen_mask_from_positions, generate_frozen_bits
 from .trellis import f_minsum
 
 

@@ -1,8 +1,7 @@
 """Unrolled recursive SCL decoder — the TPU fast path for list decoding.
 
 Same recursion as ``fastsc.py`` but with a path/list axis: state is
-``α [B, L, M]`` per node, path metrics ``pm [B, L]``, and a running path
-permutation ``perm [B, L]``.
+``α [B, L, M]`` per node plus path metrics ``pm [B, L]``.
 
 Key idea — **lazy permutation composition**: pruning at an info leaf
 permutes the list axis of *all* live state.  The scan-based decoder
@@ -32,11 +31,9 @@ per-leaf bit bookkeeping or u-tensor gathers are needed at all.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .construction import frozen_mask_from_positions
 from .encoder import polar_transform
 from .trellis import f_minsum
 

@@ -15,7 +15,6 @@ output bits exactly on identical LLRs (same min-sum f, same g, same
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

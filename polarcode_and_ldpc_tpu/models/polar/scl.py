@@ -46,6 +46,19 @@ def _log_likelihood_deltas(llr):
     return -jnp.logaddexp(zero, -llr), -jnp.logaddexp(zero, llr)
 
 
+def select_best_path(info_paths, metrics, crc=None):
+    """Pick one path per frame: best metric (reference ``decoder.py:259``),
+    or — with a ``CRCCodec`` — the best-metric CRC-passing path, falling
+    back to metric-argmax when none pass (CA-SCL; a documented reference
+    gap).  ``info_paths [B, L, K] → [B, K]``."""
+    best = jnp.argmax(metrics, axis=-1)
+    if crc is not None:
+        ok = crc.check(info_paths)  # [B, L]
+        eff = jnp.where(ok, metrics, _NEG_INF)
+        best = jnp.where(jnp.any(ok, axis=-1), jnp.argmax(eff, axis=-1), best)
+    return jnp.take_along_axis(info_paths, best[:, None, None], axis=1)[:, 0, :]
+
+
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled"):
     """Build a jittable SCL decoder.
@@ -159,14 +172,7 @@ class SCLDecoder:
 
     def _select_impl(self, u_paths, metrics):
         info = u_paths[..., self._info_idx]  # [batch, L, K]
-        best_metric = jnp.argmax(metrics, axis=-1)  # reference decoder.py:259
-        if self._crc is None:
-            best = best_metric
-        else:
-            ok = self._crc.check(info)  # [batch, L]
-            eff = jnp.where(ok, metrics, _NEG_INF)
-            best = jnp.where(jnp.any(ok, axis=-1), jnp.argmax(eff, axis=-1), best_metric)
-        return jnp.take_along_axis(info, best[:, None, None], axis=1)[:, 0, :]
+        return select_best_path(info, metrics, self._crc)
 
     def decode_paths(self, llr):
         """All surviving paths: ``(u [batch, L, N], metrics [batch, L])``."""

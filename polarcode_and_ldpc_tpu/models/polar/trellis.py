@@ -19,7 +19,6 @@ and ``g(btm, top, bit) = btm + (1−2·bit)·top`` (``decoder.py:129-144``).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Optional
 
@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import default_mesh, frame_sharding, pad_to_multiple
+from ..parallel.mesh import frame_sharding, pad_to_multiple
 from ..utils.metrics import wilson_confidence_interval
 
 
@@ -111,10 +111,7 @@ class MonteCarloSimulator:
         bits_per_frame: int,
         chunk_frames: int = 1024,
         mesh=None,
-        use_default_mesh: bool = False,
     ):
-        if mesh is None and use_default_mesh:
-            mesh = default_mesh()
         self.mesh = mesh
         if mesh is not None:
             chunk_frames = pad_to_multiple(chunk_frames, mesh.devices.size)

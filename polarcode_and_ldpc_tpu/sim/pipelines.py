@@ -26,7 +26,7 @@ from ..models.polar.construction import frozen_mask_from_positions
 from ..models.polar.crc import CRCCodec
 from ..models.polar.encoder import polar_transform
 from ..models.polar.sc import make_sc_decoder
-from ..models.polar.scl import _NEG_INF, make_scl_decoder
+from ..models.polar.scl import make_scl_decoder, select_best_path
 
 
 def make_montecarlo_step(
@@ -171,12 +171,8 @@ def make_polar_pipeline(
         def decode(llr):
             u_paths, metrics = scl(llr)
             info = u_paths[..., info_idx]  # [B, L, K]
-            best = jnp.argmax(metrics, axis=-1)
-            if decoder == "ca-scl":
-                ok = crc.check(info)  # [B, L]
-                eff = jnp.where(ok, metrics, _NEG_INF)
-                best = jnp.where(jnp.any(ok, axis=-1), jnp.argmax(eff, axis=-1), best)
-            sel = jnp.take_along_axis(info, best[:, None, None], axis=1)[:, 0, :]
+            sel = select_best_path(info, metrics,
+                                   crc if decoder == "ca-scl" else None)
             return sel, {}
 
     else:

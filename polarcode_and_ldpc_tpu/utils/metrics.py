@@ -9,7 +9,6 @@ become one vectorized count + ``psum``-style reduction here).
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ from __future__ import annotations
 import contextlib
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np
@@ -76,7 +76,7 @@ def profile_trace(logdir: str = "/tmp/fec_trace"):
 
 
 @dataclass
-class decode_rate_counter:
+class DecodeRateCounter:
     """Decoded-bits/s(/chip) accumulator (SURVEY §5 "decoded-bits/s/chip
     counter")."""
 
@@ -95,6 +95,9 @@ class decode_rate_counter:
     @property
     def mbps_per_chip(self) -> float:
         return self.mbps / max(1, self.chips)
+
+
+decode_rate_counter = DecodeRateCounter  # legacy alias
 
 
 def trace_sc_trellis(llr: np.ndarray, frozen_mask: np.ndarray) -> dict:
