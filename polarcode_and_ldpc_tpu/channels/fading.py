@@ -20,16 +20,22 @@ import jax.numpy as jnp
 from .awgn import awgn_noise_std, bpsk_modulate
 
 
-def _fading_core(key, bits, snr_db, h_mag_fn, return_llr, dtype):
+def fading_apply(bits, snr_db, h_mag, noise, return_llr=True, dtype=jnp.float32):
+    """Deterministic fading chain given explicit |h| and standard-normal
+    noise (the parity-injection path, mirrored in ``parity/channel_np``)."""
     std = awgn_noise_std(snr_db)
     symbols = bpsk_modulate(bits, dtype)
-    k_h, k_n = jax.random.split(key)
-    h_mag = h_mag_fn(k_h, symbols.shape, dtype)
-    noise = jax.random.normal(k_n, symbols.shape, dtype) * std
-    received = h_mag * symbols + noise
+    received = h_mag * symbols + jnp.asarray(noise, dtype) * std
     if return_llr:
         return 2.0 * received * h_mag / (std * std)
     return (received <= 0).astype(jnp.int8)
+
+
+def _fading_core(key, bits, snr_db, h_mag_fn, return_llr, dtype):
+    k_h, k_n = jax.random.split(key)
+    h_mag = h_mag_fn(k_h, jnp.shape(bits), dtype)
+    noise = jax.random.normal(k_n, jnp.shape(bits), dtype)
+    return fading_apply(bits, snr_db, h_mag, noise, return_llr, dtype)
 
 
 def _rayleigh_mag(key, shape, dtype):

@@ -29,3 +29,19 @@ def awgn_hard_np(bits: np.ndarray, snr_db: float, noise: np.ndarray) -> np.ndarr
     std = noise_std(snr_db)
     received = bpsk_modulate_np(bits) + std * np.asarray(noise, np.float64)
     return (received <= 0).astype(np.int64)
+
+
+def bsc_np(bits: np.ndarray, flips: np.ndarray) -> np.ndarray:
+    """BSC with an explicit flip mask (reference ``bsc.py:32-49``)."""
+    return (np.asarray(bits, np.int64) ^ np.asarray(flips, np.int64))
+
+
+def fading_llr_np(bits: np.ndarray, snr_db: float, h_mag: np.ndarray,
+                  noise: np.ndarray) -> np.ndarray:
+    """Fading chain with explicit |h| and standard-normal noise:
+    received = |h|·s + σ·noise; CSI-aware LLR = 2·y·|h|/σ²
+    (reference ``fading.py:41-63``)."""
+    std = noise_std(snr_db)
+    received = (np.asarray(h_mag, np.float64) * bpsk_modulate_np(bits)
+                + std * np.asarray(noise, np.float64))
+    return 2.0 * received * np.asarray(h_mag, np.float64) / (std * std)

@@ -110,3 +110,25 @@ def test_rician_channel(rng):
 def test_capacity_monotone():
     caps = [awgn_capacity(s) for s in (-5, 0, 5, 10)]
     assert all(b > a for a, b in zip(caps, caps[1:]))
+
+
+def test_fading_llr_exact_on_injected_state(rng):
+    from polarcode_and_ldpc_tpu.channels.fading import fading_apply
+    from polarcode_and_ldpc_tpu.parity.channel_np import fading_llr_np
+
+    bits = rng.integers(0, 2, (5, 32))
+    h = np.abs(rng.standard_normal((5, 32))) + 0.1
+    noise = rng.standard_normal((5, 32))
+    for snr in (0.0, 6.0):
+        got = np.asarray(fading_apply(bits, snr, jnp.asarray(h), noise,
+                                      dtype=jnp.float64))
+        np.testing.assert_allclose(got, fading_llr_np(bits, snr, h, noise),
+                                   rtol=1e-12)
+
+
+def test_bsc_parity_twin(rng):
+    from polarcode_and_ldpc_tpu.parity.channel_np import bsc_np
+
+    bits = rng.integers(0, 2, (4, 16))
+    flips = rng.integers(0, 2, (4, 16))
+    np.testing.assert_array_equal(bsc_np(bits, flips), bits ^ flips)
