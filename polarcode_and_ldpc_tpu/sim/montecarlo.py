@@ -122,17 +122,24 @@ class MonteCarloSimulator:
         self.bits_per_frame = bits_per_frame
         self._step = jax.jit(step_fn)
 
-    def _run_chunk(self, root_key, start: int) -> ChunkStats:
+    def _dispatch_chunk(self, root_key, start: int):
+        """Launch one chunk asynchronously (device arrays, not fetched)."""
         ids = jnp.arange(start, start + self.chunk_frames, dtype=jnp.uint32)
         if self._id_sharding is not None:
             ids = jax.device_put(ids, self._id_sharding)
-        out = self._step(root_key, ids)
+        return self._step(root_key, ids)
+
+    @staticmethod
+    def _fetch_chunk(out) -> ChunkStats:
         return ChunkStats(
             bit_errors=np.asarray(out["bit_errors"]),
             frame_error=np.asarray(out["frame_error"]),
             iterations=(np.asarray(out["iterations"])
                         if "iterations" in out else None),
         )
+
+    def _run_chunk(self, root_key, start: int) -> ChunkStats:
+        return self._fetch_chunk(self._dispatch_chunk(root_key, start))
 
     def run(
         self,
@@ -157,14 +164,27 @@ class MonteCarloSimulator:
                 acc, offset = loaded
         t0 = time.perf_counter()
         chunk_idx = 0
+        # double-buffered chunk pipeline: chunk k+1 is dispatched (async XLA
+        # execution) before chunk k's results are fetched and accounted, so
+        # the device never idles during host-side accounting/transfers (the
+        # reference's strictly sequential loop, ber_simulation.py:167-192)
+        pending = self._dispatch_chunk(root_key, offset) if num_frames else None
+        pending_offset = offset
         while acc.frames < num_frames:
-            stats = self._run_chunk(root_key, offset)
+            next_offset = pending_offset + self.chunk_frames
+            may_continue = acc.frames + self.chunk_frames < num_frames
+            nxt = (self._dispatch_chunk(root_key, next_offset)
+                   if may_continue else None)
+            stats = self._fetch_chunk(pending)
             take = min(self.chunk_frames, num_frames - acc.frames)
             self._accumulate(acc, stats, take, max_errors)
-            offset += self.chunk_frames
+            offset = pending_offset + self.chunk_frames
+            pending, pending_offset = nxt, next_offset
             chunk_idx += 1
             if max_errors is not None and acc.frame_errors >= max_errors:
                 break
+            if pending is None and acc.frames < num_frames:
+                pending = self._dispatch_chunk(root_key, pending_offset)
             if (checkpoint_path is not None
                     and chunk_idx % checkpoint_every_chunks == 0):
                 acc.elapsed_seconds += time.perf_counter() - t0
