@@ -160,12 +160,10 @@ def make_scl_decoder_unrolled(N: int, frozen_mask: np.ndarray, list_size: int,
         a_even, a_odd = alpha[..., 0::2], alpha[..., 1::2]
         beta_e, pm, R_l = node(f_minsum(a_even, a_odd), pm, off, 2 * step, half)
         if R_l is not None:
-            if use_onehot:
-                a_even = _sel_apply(R_l, a_even)
-                a_odd = _sel_apply(R_l, a_odd)
-            else:
-                a_even = _reindex(a_even, R_l)
-                a_odd = _reindex(a_odd, R_l)
+            # one fused re-index of the whole α (fewer, larger device ops)
+            alpha = (_sel_apply(R_l, alpha) if use_onehot
+                     else _reindex(alpha, R_l))
+            a_even, a_odd = alpha[..., 0::2], alpha[..., 1::2]
         sgn = 1.0 - 2.0 * beta_e.astype(alpha.dtype)
         beta_o, pm, R_r = node(a_odd + sgn * a_even, pm, off + step,
                                2 * step, half)
