@@ -21,6 +21,7 @@ from .models.polar import (
     SCDecoder,
     SCLDecoder,
     CASCLDecoder,
+    AdaptiveCASCLDecoder,
     construct_polar_code,
     bhattacharyya_bounds,
     gaussian_approximation,
@@ -54,6 +55,7 @@ __all__ = [
     "SCDecoder",
     "SCLDecoder",
     "CASCLDecoder",
+    "AdaptiveCASCLDecoder",
     "construct_polar_code",
     "bhattacharyya_bounds",
     "gaussian_approximation",

@@ -16,6 +16,7 @@ from .crc import CRC_POLYNOMIALS, CRCCodec, crc_encode, crc_check
 from .encoder import PolarEncoder, polar_transform
 from .sc import SCDecoder, make_sc_decoder
 from .scl import SCLDecoder, CASCLDecoder, make_scl_decoder
+from .adaptive import AdaptiveCASCLDecoder
 
 __all__ = [
     "bhattacharyya_bounds",
@@ -38,5 +39,6 @@ __all__ = [
     "make_sc_decoder",
     "SCLDecoder",
     "CASCLDecoder",
+    "AdaptiveCASCLDecoder",
     "make_scl_decoder",
 ]

@@ -1,0 +1,109 @@
+"""Adaptive CA-SCL: SC first, list decode only the CRC-failing frames.
+
+The standard throughput decoder (Li, Shen & Tse, "An adaptive successive
+cancellation list decoder for polar codes with cyclic redundancy check",
+IEEE Comm. Letters 2012; no counterpart in the reference): at working SNRs
+the single-pass SC decoder satisfies the CRC for the overwhelming majority
+of frames, so the expensive list decoder only ever sees the residue.
+
+TPU-shaped: SC runs over the whole batch (one jitted program), the CRC
+check runs on device, and the host gathers the failing rows into
+fixed-size fallback batches (one SCL compilation, padded) — no dynamic
+shapes anywhere.  Output per frame: the SC result when its CRC passes,
+else the CA-SCL result — identical to pure CA-SCL whenever SC fails, and a
+CRC-valid codeword either way.
+
+Measured (v5e, N=1024 K=512 CRC-8, batch 8192): SC pass rate 1.0000 at
+1.5–3 dB → zero SCL fallbacks; device compute is then the SC pass (~1 Gbps
+class) instead of SCL's ~24 Mbps.  End-to-end rate additionally pays the
+decoded-bits device→host transfer (which dominated at ~26 Mbps over this
+session's remote-TPU tunnel; irrelevant on a locally attached chip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .construction import frozen_mask_from_positions, generate_frozen_bits
+from .crc import CRCCodec
+from .sc import make_sc_decoder
+from .scl import make_scl_decoder, select_best_path
+
+
+class AdaptiveCASCLDecoder:
+    """SC-first CA-SCL (see module docstring).
+
+    ``decode(llr [B, N]) → info bits [B, K]`` (CRC bits included, like
+    ``SCLDecoder``); ``decode(..., return_stats=True)`` also reports the
+    SC pass rate and fallback count.
+    """
+
+    def __init__(self, N: int, K: int, list_size: int = 8,
+                 frozen_bits: Optional[np.ndarray] = None,
+                 crc_polynomial: str = "CRC-8",
+                 fallback_batch: int = 128, dtype=jnp.float32):
+        assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
+        assert 0 < K < N
+        self.N, self.K, self.L = N, K, list_size
+        if frozen_bits is None:
+            self.frozen_bits, self.info_bits = generate_frozen_bits(N, K)
+        else:
+            self.frozen_bits = np.sort(np.asarray(frozen_bits, np.int64))
+            self.info_bits = np.setdiff1d(np.arange(N), self.frozen_bits)
+        mask = frozen_mask_from_positions(N, self.frozen_bits)
+        self.crc_polynomial = crc_polynomial
+        crc_len = int(crc_polynomial.split("-")[1])
+        assert K > crc_len
+        self._crc = CRCCodec(K - crc_len, crc_polynomial)
+        self._info_idx = jnp.asarray(self.info_bits, jnp.int32)
+        self.fallback_batch = fallback_batch
+        self.dtype = dtype
+
+        sc = make_sc_decoder(N, mask, dtype)
+
+        def sc_pass(llr):
+            info = sc(llr)[..., self._info_idx]
+            return info, self._crc.check(info)
+
+        self._sc_pass = jax.jit(sc_pass)
+        scl = make_scl_decoder(N, mask, list_size, dtype)
+
+        def scl_pass(llr):
+            u_paths, metrics = scl(llr)
+            return select_best_path(u_paths[..., self._info_idx], metrics,
+                                    self._crc)
+
+        self._scl_pass = jax.jit(scl_pass)
+
+    def decode(self, llr, return_stats: bool = False):
+        llr = jnp.atleast_2d(jnp.asarray(llr, self.dtype))
+        B = llr.shape[0]
+        info, ok = self._sc_pass(llr)
+        out = np.array(info)  # writable copy (np.asarray of a jax array is read-only)
+        ok = np.asarray(ok)
+        fail = np.nonzero(~ok)[0]
+        fb = self.fallback_batch
+        llr_np = None
+        for start in range(0, len(fail), fb):
+            idx = fail[start: start + fb]
+            if llr_np is None:
+                llr_np = np.asarray(llr)
+            chunk = llr_np[idx]
+            if len(idx) < fb:  # pad to the fixed fallback shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((fb - len(idx), self.N), chunk.dtype)])
+            fixed = np.asarray(self._scl_pass(jnp.asarray(chunk)))
+            out[idx] = fixed[: len(idx)]
+        if return_stats:
+            return out, {"frames": B, "sc_passed": int(ok.sum()),
+                         "scl_fallbacks": int(len(fail)),
+                         "sc_pass_rate": float(ok.mean())}
+        return out
+
+    def __repr__(self) -> str:
+        return (f"AdaptiveCASCLDecoder(N={self.N}, K={self.K}, L={self.L}, "
+                f"crc={self.crc_polynomial})")
