@@ -40,6 +40,7 @@ from .models.ldpc import (
     generate_ldpc_matrix,
     mackay_construction,
     regular_construction,
+    qc_ldpc_construction,
     peg_construction,
     create_systematic_generator,
     check_matrix_rank,
@@ -72,6 +73,7 @@ __all__ = [
     "generate_ldpc_matrix",
     "mackay_construction",
     "regular_construction",
+    "qc_ldpc_construction",
     "peg_construction",
     "create_systematic_generator",
     "check_matrix_rank",

@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device frames per chunk")
     p.add_argument("--polar-config", default=None, help="YAML config path")
     p.add_argument("--ldpc-config", default=None, help="YAML config path")
+    p.add_argument("--channel", default="awgn",
+                   choices=["awgn", "bsc", "rayleigh", "rician"])
+    p.add_argument("--crossover-prob", type=float, default=0.1, help="BSC only")
+    p.add_argument("--k-factor", type=float, default=1.0, help="Rician only")
     p.add_argument("--use-third-party", action="store_true",
                    help="overlay polarcodes/pyldpc oracle curves (if installed)")
     p.add_argument("--skip-polar", action="store_true")
@@ -44,7 +48,7 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     setup_platform(args)
 
-    from ..core.config import (LDPCCodeConfig, PolarCodeConfig,
+    from ..core.config import (ChannelConfig, LDPCCodeConfig, PolarCodeConfig,
                                SimulationConfig, load_yaml_config)
     from ..sim.experiments import run_ber_simulation
     from ..utils import analyze_complexity, plot_ber_curves, save_results
@@ -68,10 +72,14 @@ def main(argv=None) -> dict:
                                  "max_errors": args.max_errors}}
 
     t0 = time.perf_counter()
+    channel = ChannelConfig(kind=args.channel,
+                            crossover_prob=args.crossover_prob,
+                            k_factor=args.k_factor)
     ber = run_ber_simulation(
         None if args.skip_polar else polar_cfg,
         None if args.skip_ldpc else ldpc_cfg,
-        sim, mesh=mesh, use_oracle=args.use_third_party, verbose=True)
+        sim, mesh=mesh, use_oracle=args.use_third_party, verbose=True,
+        channel=channel)
     combined["ber_simulation"] = ber
     save_results(ber, outdir / "data" / "ber_simulation_results.json")
 

@@ -3,6 +3,7 @@
 from .matrix import (
     mackay_construction,
     regular_construction,
+    qc_ldpc_construction,
     generate_ldpc_matrix,
     peg_construction,
     create_systematic_generator,
@@ -25,6 +26,7 @@ from .utils import (
 __all__ = [
     "mackay_construction",
     "regular_construction",
+    "qc_ldpc_construction",
     "generate_ldpc_matrix",
     "peg_construction",
     "create_systematic_generator",

@@ -58,7 +58,10 @@ def regular_construction(n: int, k: int, dv: int, dc: int,
             break
         for c in bad:
             vals, counts = np.unique(cols[c], return_counts=True)
-            dup = vals[counts > 1][0]
+            dups = vals[counts > 1]
+            if dups.size == 0:  # an earlier swap this round already fixed c
+                continue
+            dup = dups[0]
             slot = int(np.where(cols[c] == dup)[0][-1])
             c2 = int(rng.integers(n))
             s2 = int(rng.integers(dv))
@@ -72,11 +75,43 @@ def regular_construction(n: int, k: int, dv: int, dc: int,
     return H
 
 
-def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
-                         dc: int = 6, seed: Optional[int] = None) -> np.ndarray:
-    """Dispatching constructor (reference ``matrix.py:53-91``; ``regular``
-    is new — see :func:`regular_construction`)."""
+def qc_ldpc_construction(n: int, k: int, z: int, dv: int = 3, dc: int = 6,
+                         seed: Optional[int] = None) -> np.ndarray:
+    """Quasi-cyclic LDPC H: a (dv, dc)-regular base graph lifted by z×z
+    circulant permutation blocks with random shifts.
+
+    ``qc_ldpc`` is advertised in the reference's config
+    (``config/ldpc_config.yaml`` comments) but not implemented there.  QC
+    structure is what hardware and 5G/Wi-Fi codes use; here it also keeps
+    the padded-edge tensors exactly regular.  Requires ``z | n`` and
+    ``z | (n−k)``.
+    """
     m = n - k
+    if n % z or m % z:
+        raise ValueError(f"lift size z={z} must divide n={n} and m={m}")
+    nb, mb = n // z, m // z
+    base = regular_construction(nb, nb - mb, dv, dc, seed)
+    rng = np.random.default_rng(None if seed is None else seed + 1)
+    H = np.zeros((m, n), dtype=np.int64)
+    eye = np.eye(z, dtype=np.int64)
+    for bi in range(mb):
+        for bj in range(nb):
+            if base[bi, bj]:
+                shift = int(rng.integers(z))
+                H[bi * z:(bi + 1) * z, bj * z:(bj + 1) * z] = np.roll(
+                    eye, shift, axis=1)
+    return H
+
+
+def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
+                         dc: int = 6, seed: Optional[int] = None,
+                         z: Optional[int] = None) -> np.ndarray:
+    """Dispatching constructor (reference ``matrix.py:53-91``; ``regular``
+    and ``qc`` are new — see :func:`regular_construction` /
+    :func:`qc_ldpc_construction`)."""
+    m = n - k
+    if method in ("qc", "qc_ldpc"):
+        return qc_ldpc_construction(n, k, z or max(2, n // 64), dv, dc, seed)
     if method in ("mackay", "regular", "gallager"):
         if dv * n != dc * m:
             dc = (dv * n) // m

@@ -7,6 +7,8 @@ from .construction import (
     construct_polar_code,
     calculate_channel_capacities,
     generate_frozen_bits,
+    monte_carlo_reliabilities,
+    genie_leaf_llrs,
     bit_reverse,
     bit_reverse_array,
     bit_reverse_permutation,
@@ -25,6 +27,8 @@ __all__ = [
     "construct_polar_code",
     "calculate_channel_capacities",
     "generate_frozen_bits",
+    "monte_carlo_reliabilities",
+    "genie_leaf_llrs",
     "bit_reverse",
     "bit_reverse_array",
     "bit_reverse_permutation",

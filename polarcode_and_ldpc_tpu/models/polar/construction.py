@@ -7,11 +7,11 @@ encoder/decoder ctors (reference ``src/polar/construction.py``, and the
 harness's oracle-construction path at ``benchmarks/ber_simulation.py:145-152``).
 
 Index convention (verified against the reference decoder's trellis,
-``src/polar/decoder.py:73-115``): for u-index ``l`` the MSB of ``l`` selects
-the outermost channel split — MSB 0 is the degraded (f) child, MSB 1 the
-upgraded (g) child.  The reference's Bhattacharyya recursion
-(``construction.py:11-48``: child ``2i`` ← 2Z−Z², child ``2i+1`` ← Z²) uses
-exactly this convention, which we reproduce.
+``src/polar/decoder.py:73-115``, and empirically by BER at N≥512): trellis
+stage *s* selects f/g by bit *s* of the u-index, so the *first* channel
+split lives at the LSB.  The recursions here therefore concatenate children
+block-wise (old index in the low bits) — see :func:`bhattacharyya_bounds`
+for why this deliberately deviates from the reference's interleaved order.
 """
 
 from __future__ import annotations
@@ -145,6 +145,71 @@ def dega_llr_means(N: int, snr_db: float) -> np.ndarray:
 # frozen set selection
 # ---------------------------------------------------------------------------
 
+def genie_leaf_llrs(llr):
+    """Genie-aided SC decision LLRs for the all-zero codeword, every leaf.
+
+    With all prior bits known (= 0 for the all-zero codeword), leaf *l*'s
+    decision LLR is a deterministic function of the channel LLRs: the f/g
+    recursion with all partial sums zero (g degenerates to a sum).  Returns
+    ``[..., N]`` indexed by u-position.  Device-side and jit-friendly —
+    the workhorse of Monte-Carlo construction.
+    """
+    import jax.numpy as jnp
+
+    def node(alpha, off, step, size):
+        """Returns (u_indices, leaf_llrs [..., size]) in emission order."""
+        if size == 1:
+            return [off], alpha
+        e, o = alpha[..., 0::2], alpha[..., 1::2]
+        f = jnp.sign(e) * jnp.sign(o) * jnp.minimum(jnp.abs(e), jnp.abs(o))
+        idx_e, llr_e = node(f, off, 2 * step, size // 2)
+        idx_o, llr_o = node(o + e, off + step, 2 * step, size // 2)
+        return idx_e + idx_o, jnp.concatenate([llr_e, llr_o], axis=-1)
+
+    llr = jnp.asarray(llr)
+    N = llr.shape[-1]
+    idx, leaves = node(llr, 0, 1, N)
+    inv = np.argsort(np.asarray(idx, np.int64))
+    return leaves[..., inv]
+
+
+def monte_carlo_reliabilities(N: int, snr_db: float, num_frames: int = 10000,
+                              seed: int = 0, batch: int = 1024) -> np.ndarray:
+    """Per-bit-channel error probabilities by Monte-Carlo (genie-aided SC).
+
+    The reference *advertises* ``monte_carlo`` construction in its config
+    (``config/polar_config.yaml``) but never implements it; this is the
+    real thing, batched on device: sample AWGN LLRs for the all-zero
+    codeword, compute every leaf's genie decision LLR in one pass, and
+    count sign errors per u-position.  Lower = better channel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ...channels.awgn import awgn_noise_std
+
+    std = awgn_noise_std(snr_db)
+
+    @jax.jit
+    def chunk_errors(key):
+        noise = jax.random.normal(key, (batch, N))
+        llr = 2.0 * (1.0 + std * noise) / (std * std)  # all-zero cw → s=+1
+        leaves = genie_leaf_llrs(llr)
+        return jnp.sum(leaves < 0, axis=0, dtype=jnp.int32)
+
+    errors = np.zeros(N, np.int64)
+    frames = 0
+    import jax.random as jrandom
+
+    root = jrandom.PRNGKey(seed)
+    i = 0
+    while frames < num_frames:
+        errors += np.asarray(chunk_errors(jrandom.fold_in(root, i)))
+        frames += batch
+        i += 1
+    return errors / frames
+
+
 def generate_frozen_bits(
     N: int, K: int, channel_param: Optional[np.ndarray] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -172,8 +237,9 @@ def construct_polar_code(
     """Pick frozen/info positions (reference ``construction.py:100-140``).
 
     Methods: ``bhattacharyya`` (Z ascending → best K), ``gaussian_approximation``
-    (reference heuristic, μ descending), ``dega`` (proper DE-GA, new), and
-    ``default`` (bit-reversal heuristic).
+    (reference heuristic, μ descending), ``dega`` (proper DE-GA, new),
+    ``monte_carlo`` (genie-aided simulation, advertised-but-missing in the
+    reference config), and ``default`` (bit-reversal heuristic).
     Returns ``(frozen_positions, info_positions)``, both sorted.
     """
     if method == "bhattacharyya":
@@ -187,6 +253,10 @@ def construct_polar_code(
     elif method == "dega":
         mu = dega_llr_means(N, snr_db)
         order = np.argsort(-mu, kind="stable")
+        info, frozen = order[:K], order[K:]
+    elif method == "monte_carlo":
+        pe = monte_carlo_reliabilities(N, snr_db)
+        order = np.argsort(pe, kind="stable")  # lowest error prob first
         info, frozen = order[:K], order[K:]
     elif method == "default":
         return generate_frozen_bits(N, K)

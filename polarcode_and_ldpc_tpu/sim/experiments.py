@@ -14,10 +14,10 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..core.config import LDPCCodeConfig, PolarCodeConfig, SimulationConfig
+from ..core.config import ChannelConfig, LDPCCodeConfig, PolarCodeConfig, SimulationConfig
 from ..models.ldpc.encoder import LDPCEncoder
 from ..models.polar.construction import construct_polar_code
-from .pipelines import make_ldpc_pipeline, make_polar_pipeline
+from .pipelines import make_channel_fn, make_ldpc_pipeline, make_polar_pipeline
 from .sweep import run_snr_sweep
 
 
@@ -26,11 +26,21 @@ def _polar_decoder_name(cfg: PolarCodeConfig) -> str:
             "ca-scl": "ca-scl"}[cfg.algorithm]
 
 
+def _channel_builder(channel: Optional[ChannelConfig]):
+    """snr_db → channel_fn for the configured channel kind (None → AWGN)."""
+    if channel is None or channel.kind == "awgn":
+        return lambda snr: None  # pipelines default to AWGN at that snr
+    return lambda snr: make_channel_fn(channel.kind, snr_db=snr,
+                                       crossover_prob=channel.crossover_prob,
+                                       k_factor=channel.k_factor)
+
+
 def simulate_polar(
     cfg: PolarCodeConfig,
     sim: SimulationConfig,
     mesh=None,
     verbose: bool = False,
+    channel: Optional[ChannelConfig] = None,
 ) -> dict:
     """Polar BER/FER curve (reference ``simulate_polar``,
     ``ber_simulation.py:132-205``)."""
@@ -39,11 +49,13 @@ def simulate_polar(
     decoder = _polar_decoder_name(cfg)
     use_crc = cfg.use_crc or decoder == "ca-scl"
 
+    chan = _channel_builder(channel)
+
     def builder(snr_db):
         return make_polar_pipeline(
             cfg.N, cfg.K, frozen, snr_db, decoder=decoder,
             list_size=cfg.list_size, use_crc=use_crc,
-            crc_polynomial=cfg.crc_polynomial)
+            crc_polynomial=cfg.crc_polynomial, channel_fn=chan(snr_db))
 
     k_counted = cfg.K - (int(cfg.crc_polynomial.split("-")[1]) if use_crc else 0)
     out = run_snr_sweep(builder, k_counted, sim.snr_points(),
@@ -62,6 +74,7 @@ def simulate_ldpc(
     mesh=None,
     verbose: bool = False,
     H: Optional[np.ndarray] = None,
+    channel: Optional[ChannelConfig] = None,
 ) -> dict:
     """LDPC BER/FER curve (reference ``simulate_ldpc``,
     ``ber_simulation.py:208-293``)."""
@@ -71,11 +84,13 @@ def simulate_ldpc(
     norm = cfg.normalization if decoder in ("ms", "nms") else 1.0
     offset = cfg.offset if decoder == "oms" else 0.0
 
+    chan = _channel_builder(channel)
+
     def builder(snr_db):
         return make_ldpc_pipeline(
             enc.H, enc.G, snr_db, decoder=decoder, max_iter=cfg.max_iterations,
             normalization=norm, offset=offset, early_stop=cfg.early_stop,
-            message_idx=enc.info_positions)
+            message_idx=enc.info_positions, channel_fn=chan(snr_db))
 
     out = run_snr_sweep(builder, enc.k, sim.snr_points(),
                         num_frames=sim.num_frames, max_errors=sim.max_errors,
@@ -94,6 +109,7 @@ def run_ber_simulation(
     mesh=None,
     use_oracle: bool = False,
     verbose: bool = False,
+    channel: Optional[ChannelConfig] = None,
 ) -> dict:
     """Combined polar + LDPC BER study (reference ``run_ber_simulation``,
     ``ber_simulation.py:24-129``).  ``use_oracle`` adds third-party library
@@ -105,11 +121,13 @@ def run_ber_simulation(
         if verbose:
             print(f"Polar N={polar_cfg.N} K={polar_cfg.K} "
                   f"({_polar_decoder_name(polar_cfg)}):")
-        results["polar"] = {"self": simulate_polar(polar_cfg, sim, mesh, verbose)}
+        results["polar"] = {"self": simulate_polar(polar_cfg, sim, mesh, verbose,
+                                                   channel=channel)}
     if ldpc_cfg is not None:
         if verbose:
             print(f"LDPC n={ldpc_cfg.n} k={ldpc_cfg.k} ({ldpc_cfg.algorithm}):")
-        results["ldpc"] = {"self": simulate_ldpc(ldpc_cfg, sim, mesh, verbose)}
+        results["ldpc"] = {"self": simulate_ldpc(ldpc_cfg, sim, mesh, verbose,
+                                                 channel=channel)}
     if use_oracle:
         from ..oracle import oracle_available
 

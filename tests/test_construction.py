@@ -87,3 +87,24 @@ def test_construction_quality_large_N():
     msgs = np.random.default_rng(0).integers(0, 2, (100, K))
     out = np.asarray(dec.decode(chan.transmit(enc.encode(msgs))))
     assert np.any(out != msgs, axis=1).mean() <= 0.02
+
+
+def test_monte_carlo_construction():
+    frozen, info = fec.construct_polar_code(64, 32, "monte_carlo", 2.0)
+    assert len(frozen) == 32 and len(info) == 32
+    assert 63 in info and 0 in frozen
+
+
+def test_genie_leaf_llrs_match_trellis(rng):
+    from polarcode_and_ldpc_tpu.models.polar.construction import genie_leaf_llrs
+    from polarcode_and_ldpc_tpu.utils.tracing import trace_sc_trellis
+
+    N = 16
+    llr = rng.standard_normal(N) * 2
+    got = np.asarray(genie_leaf_llrs(llr.astype(np.float64)))
+    # with an all-frozen mask every SC decision bit is 0, so the trellis
+    # decision LLRs ARE the genie LLRs
+    tr = trace_sc_trellis(llr, np.ones(N, bool))
+    ref = np.array([s["decision_llr"]
+                    for s in sorted(tr["steps"], key=lambda s: s["leaf"])])
+    np.testing.assert_allclose(got, ref, atol=1e-9)

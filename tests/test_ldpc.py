@@ -177,3 +177,26 @@ def test_ldpc_utils(rng):
     assert not check_syndrome(H, bad)
     assert count_errors(cw, bad) == 1
     assert hamming_distance(cw, bad) == 1
+
+
+def test_qc_ldpc_construction(rng):
+    H = fec.qc_ldpc_construction(96, 48, z=8, dv=3, dc=6, seed=5)
+    assert H.shape == (48, 96)
+    np.testing.assert_array_equal(H.sum(axis=0), 3)  # regular, by lift
+    np.testing.assert_array_equal(H.sum(axis=1), 6)
+    # circulant blocks: each z x z block is all-zero or a cyclic permutation
+    z = 8
+    for bi in range(48 // z):
+        for bj in range(96 // z):
+            blk = H[bi * z:(bi + 1) * z, bj * z:(bj + 1) * z]
+            assert blk.sum() in (0, z)
+            if blk.sum() == z:
+                assert (blk.sum(axis=0) == 1).all() and (blk.sum(axis=1) == 1).all()
+    enc = fec.LDPCEncoder(96, 48, H=H)
+    cw = np.asarray(enc.encode(rng.integers(0, 2, (8, enc.k))))
+    assert ((H @ cw.T) % 2 == 0).all()
+    dec = fec.BPDecoder(H, max_iter=20)
+    chan = fec.AWGNChannel(snr_db=4.0, seed=3)
+    msgs = rng.integers(0, 2, (64, enc.k))
+    out = np.asarray(dec.decode(chan.transmit(enc.encode(msgs))))
+    assert (out[:, enc.info_positions] != msgs).mean() < 0.02
