@@ -46,7 +46,7 @@ class LDPCCodeConfig:
     k: int = 252
     dv: int = 3
     dc: int = 6
-    construction: str = "mackay"  # mackay | peg | random
+    construction: str = "regular"  # regular | mackay | peg | random | qc
     seed: Optional[int] = 42
     # decoding
     algorithm: str = "bp"  # bp | min_sum | nms | oms

@@ -56,13 +56,17 @@ class LDPCEncoder:
 
     def __init__(self, n: int, k: int, H: Optional[np.ndarray] = None,
                  G: Optional[np.ndarray] = None, dv: int = 3, dc: int = 6,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, method: str = "regular"):
         assert n > k > 0, "invalid code parameters"
         self.n = n
         self.k = k
         if H is None:
             self.m = n - k
-            self.H = generate_ldpc_matrix(n, k, method="mackay", dv=dv, dc=dc, seed=seed)
+            # default "regular" (balanced rows): measured statistical parity
+            # with the reference's committed BP curves, which were produced
+            # with pyldpc's balanced H — its own mackay (rows 0..13 at n=504)
+            # is ~2-4x worse in BER and is kept for surface parity only
+            self.H = generate_ldpc_matrix(n, k, method=method, dv=dv, dc=dc, seed=seed)
         else:
             self.H = np.asarray(H)
             m_actual, n_actual = self.H.shape

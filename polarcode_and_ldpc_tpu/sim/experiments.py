@@ -78,7 +78,8 @@ def simulate_ldpc(
 ) -> dict:
     """LDPC BER/FER curve (reference ``simulate_ldpc``,
     ``ber_simulation.py:208-293``)."""
-    enc = LDPCEncoder(cfg.n, cfg.k, H=H, dv=cfg.dv, dc=cfg.dc, seed=cfg.seed)
+    enc = LDPCEncoder(cfg.n, cfg.k, H=H, dv=cfg.dv, dc=cfg.dc, seed=cfg.seed,
+                      method=cfg.construction)
     decoder = {"bp": "bp", "min_sum": "ms", "ms": "ms", "nms": "nms",
                "oms": "oms"}[cfg.algorithm]
     norm = cfg.normalization if decoder in ("ms", "nms") else 1.0
