@@ -103,6 +103,12 @@ class MonteCarloSimulator:
         mesh: optional ``jax.sharding.Mesh``; frames shard over its first
             axis.  ``chunk_frames`` is rounded up to a multiple of the mesh
             size.
+        reduction: ``"per_frame"`` (default — exact reference early-stop
+            accounting; requires all shards host-addressable, i.e. single
+            process) or ``"scalar"`` (multi-host form: the step is wrapped
+            by ``pipelines.reduce_step`` so only replicated scalar counters
+            cross the host boundary; ``max_errors`` then stops at chunk
+            granularity and per-frame iteration statistics become sums).
     """
 
     def __init__(
@@ -111,6 +117,7 @@ class MonteCarloSimulator:
         bits_per_frame: int,
         chunk_frames: int = 1024,
         mesh=None,
+        reduction: str = "per_frame",
     ):
         self.mesh = mesh
         if mesh is not None:
@@ -120,6 +127,12 @@ class MonteCarloSimulator:
             self._id_sharding = None
         self.chunk_frames = chunk_frames
         self.bits_per_frame = bits_per_frame
+        assert reduction in ("per_frame", "scalar")
+        self.reduction = reduction
+        if reduction == "scalar":
+            from .pipelines import reduce_step
+
+            step_fn = reduce_step(step_fn)
         self._step = jax.jit(step_fn)
 
     def _dispatch_chunk(self, root_key, start: int):
@@ -129,14 +142,23 @@ class MonteCarloSimulator:
             ids = jax.device_put(ids, self._id_sharding)
         return self._step(root_key, ids)
 
-    @staticmethod
-    def _fetch_chunk(out) -> ChunkStats:
+    def _fetch_chunk(self, out):
+        if self.reduction == "scalar":
+            return {k: int(v) for k, v in out.items()}
         return ChunkStats(
             bit_errors=np.asarray(out["bit_errors"]),
             frame_error=np.asarray(out["frame_error"]),
             iterations=(np.asarray(out["iterations"])
                         if "iterations" in out else None),
         )
+
+    def _accumulate_scalar(self, acc: "MonteCarloResult", stats: dict) -> None:
+        acc.frames += self.chunk_frames
+        acc.bit_errors += stats["bit_errors"]
+        acc.frame_errors += stats["frame_errors"]
+        if "iterations" in stats:
+            acc.total_iterations += stats["iterations"]
+            acc.iteration_frames += self.chunk_frames
 
     def _run_chunk(self, root_key, start: int) -> ChunkStats:
         return self._fetch_chunk(self._dispatch_chunk(root_key, start))
@@ -176,8 +198,11 @@ class MonteCarloSimulator:
             nxt = (self._dispatch_chunk(root_key, next_offset)
                    if may_continue else None)
             stats = self._fetch_chunk(pending)
-            take = min(self.chunk_frames, num_frames - acc.frames)
-            self._accumulate(acc, stats, take, max_errors)
+            if self.reduction == "scalar":
+                self._accumulate_scalar(acc, stats)
+            else:
+                take = min(self.chunk_frames, num_frames - acc.frames)
+                self._accumulate(acc, stats, take, max_errors)
             offset = pending_offset + self.chunk_frames
             pending, pending_offset = nxt, next_offset
             chunk_idx += 1

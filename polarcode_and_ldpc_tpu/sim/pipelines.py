@@ -74,6 +74,30 @@ def make_montecarlo_step(
     return step
 
 
+def reduce_step(step):
+    """Wrap a Monte-Carlo step to emit replicated *scalars* instead of
+    per-frame arrays (bit_errors, frame_errors, iterations sums).
+
+    This is the multi-host form: per-frame outputs of a step over a
+    globally-sharded frame axis are not host-addressable, while jit-reduced
+    scalars come back replicated on every process (XLA inserts the
+    cross-device psum).  Early stopping then operates at chunk granularity
+    (see ``MonteCarloSimulator(reduction="scalar")``).
+    """
+
+    def reduced(root_key, frame_ids):
+        out = step(root_key, frame_ids)
+        red = {
+            "bit_errors": jnp.sum(out["bit_errors"], dtype=jnp.int64),
+            "frame_errors": jnp.sum(out["frame_error"], dtype=jnp.int64),
+        }
+        if "iterations" in out:
+            red["iterations"] = jnp.sum(out["iterations"], dtype=jnp.int64)
+        return red
+
+    return reduced
+
+
 def _awgn_channel_fn(snr_db: float, dtype=jnp.float32):
     def channel(keys, cw):
         return jax.vmap(lambda k, c: awgn_transmit(k, c, snr_db, dtype=dtype))(keys, cw)

@@ -125,3 +125,15 @@ def test_all_channel_kinds():
         res = MonteCarloSimulator(step, K, chunk_frames=64).run(128, seed=4)
         assert res.frames == 128
         assert res.ber < 0.2, kind  # decodes meaningfully on every channel
+
+
+def test_scalar_reduction_matches_per_frame():
+    # the multi-host accounting mode (replicated scalar counters) must agree
+    # with the exact per-frame mode when no early stop truncates a chunk
+    step, K = _polar_step(snr_db=1.0)
+    per = MonteCarloSimulator(step, K, chunk_frames=64).run(256, seed=13)
+    sca = MonteCarloSimulator(step, K, chunk_frames=64,
+                              reduction="scalar").run(256, seed=13)
+    assert sca.frames == per.frames == 256
+    assert sca.bit_errors == per.bit_errors
+    assert sca.frame_errors == per.frame_errors
