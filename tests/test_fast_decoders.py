@@ -128,3 +128,17 @@ def test_ldpc_matmul_permute_equals_gather(rng):
     b_g, i_g = dec_g.decode(llr, return_iterations=True)
     np.testing.assert_array_equal(np.asarray(b_mm), np.asarray(b_g))
     np.testing.assert_array_equal(np.asarray(i_mm), np.asarray(i_g))
+
+
+def test_unrolled_scl_exact_flagship_size(rng):
+    # N=1024 spot-check vs the NumPy twin (full parity sweep runs at small N)
+    N, L = 1024, 2
+    mask = _mask(N, 512)
+    dec = jax.jit(make_scl_decoder_unrolled(N, mask, L, jnp.float64))
+    llr = rng.standard_normal((2, N)) * 1.5
+    u, pm = dec(llr)
+    u, pm = np.asarray(u), np.asarray(pm)
+    for i in range(2):
+        _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
+        np.testing.assert_allclose(pm[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(u[i], ref_paths)
