@@ -9,7 +9,18 @@ from .pipelines import (
     make_montecarlo_step,
     make_polar_pipeline,
 )
+from .pipelines import reduce_step
 from .sweep import run_snr_sweep
+from .experiments import (
+    analyze_snr_requirements,
+    run_ber_simulation,
+    simulate_ldpc,
+    simulate_polar,
+    test_code_lengths,
+    test_multiple_rates,
+)
+from .throughput import measure_ldpc_throughput, measure_polar_throughput, run_throughput_test
+from .scaling import measure_scaling
 
 __all__ = [
     "ChunkStats",
@@ -20,4 +31,15 @@ __all__ = [
     "make_polar_pipeline",
     "make_ldpc_pipeline",
     "run_snr_sweep",
+    "reduce_step",
+    "run_ber_simulation",
+    "simulate_polar",
+    "simulate_ldpc",
+    "test_multiple_rates",
+    "test_code_lengths",
+    "analyze_snr_requirements",
+    "measure_polar_throughput",
+    "measure_ldpc_throughput",
+    "run_throughput_test",
+    "measure_scaling",
 ]

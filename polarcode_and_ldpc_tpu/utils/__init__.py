@@ -11,6 +11,7 @@ from .metrics import (
 )
 from .complexity import analyze_complexity, ldpc_complexity, polar_complexity
 from .visualization import plot_ber_curves, plot_comparison, save_results
+from .tracing import DecodeRateCounter, Timer, profile_trace, timed_span, trace_sc_trellis
 
 __all__ = [
     "calculate_ber",
@@ -25,4 +26,9 @@ __all__ = [
     "plot_ber_curves",
     "plot_comparison",
     "save_results",
+    "Timer",
+    "timed_span",
+    "profile_trace",
+    "DecodeRateCounter",
+    "trace_sc_trellis",
 ]
