@@ -21,10 +21,23 @@ def bsc_llr(bits, crossover_prob: float, dtype=jnp.float32):
 
     The reference never computes BSC LLRs (its BSC path is hard-decision
     only); provided here so BSC outputs can drive the soft decoders too.
+
+    The magnitude is saturated to ±20 (the BP ``_SAT`` convention,
+    reference ``src/ldpc/decoder.py:94``): a degenerate channel with
+    ``p ∈ {0, 1}`` would otherwise emit ±inf LLRs, and the one-hot matmul
+    gather path (``models/ldpc/graph.py``) is exact only for finite
+    messages (``0 × inf = NaN``).
     """
     import math
 
-    mag = math.log((1.0 - crossover_prob) / crossover_prob)
+    _SAT = 20.0
+    if crossover_prob <= 0.0 or crossover_prob >= 1.0:
+        mag = _SAT
+        if crossover_prob >= 1.0:
+            mag = -_SAT
+    else:
+        mag = min(max(math.log((1.0 - crossover_prob) / crossover_prob),
+                      -_SAT), _SAT)
     return (1.0 - 2.0 * jnp.asarray(bits, dtype)) * mag
 
 

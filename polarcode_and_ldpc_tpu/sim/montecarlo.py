@@ -184,6 +184,8 @@ class MonteCarloSimulator:
             loaded = self._load_checkpoint(checkpoint_path, seed)
             if loaded is not None:
                 acc, offset = loaded
+        if max_errors is not None and acc.frame_errors >= max_errors:
+            return acc  # resumed run already crossed the early-stop threshold
         t0 = time.perf_counter()
         chunk_idx = 0
         # double-buffered chunk pipeline: chunk k+1 is dispatched (async XLA
@@ -200,10 +202,14 @@ class MonteCarloSimulator:
             stats = self._fetch_chunk(pending)
             if self.reduction == "scalar":
                 self._accumulate_scalar(acc, stats)
+                offset = pending_offset + self.chunk_frames
             else:
                 take = min(self.chunk_frames, num_frames - acc.frames)
-                self._accumulate(acc, stats, take, max_errors)
-            offset = pending_offset + self.chunk_frames
+                taken = self._accumulate(acc, stats, take, max_errors)
+                # next un-accounted frame id — NOT the chunk boundary: a
+                # resumed run must re-simulate frames the crossing/trim
+                # dropped, or it would cover a different frame set
+                offset = pending_offset + taken
             pending, pending_offset = nxt, next_offset
             chunk_idx += 1
             if max_errors is not None and acc.frame_errors >= max_errors:
@@ -222,7 +228,10 @@ class MonteCarloSimulator:
 
     @staticmethod
     def _accumulate(acc: MonteCarloResult, stats: ChunkStats, take: int,
-                    max_errors: Optional[int]) -> None:
+                    max_errors: Optional[int]) -> int:
+        """Fold one chunk into ``acc``; returns the number of frames actually
+        accounted (≤ ``take`` when the early-stop threshold is crossed
+        mid-chunk)."""
         fe = stats.frame_error[:take]
         be = stats.bit_errors[:take]
         if max_errors is not None:
@@ -238,6 +247,7 @@ class MonteCarloSimulator:
         if stats.iterations is not None:
             acc.total_iterations += int(stats.iterations[:take].sum())
             acc.iteration_frames += take
+        return take
 
     # -- checkpoint/resume -----------------------------------------------------
     @staticmethod

@@ -82,6 +82,16 @@ def test_bsc_llr_values():
     np.testing.assert_allclose(llr, [mag, -mag], rtol=1e-9)
 
 
+def test_bsc_llr_degenerate_saturates():
+    # p ∈ {0, 1} (and extreme p) must emit finite, ±20-saturated LLRs: the
+    # one-hot matmul gather in the LDPC graph is exact only for finite
+    # messages (0 × inf = NaN would poison the first BP iteration)
+    for p, sign in [(0.0, +1.0), (1.0, -1.0), (1e-12, +1.0)]:
+        llr = np.asarray(bsc_llr(jnp.array([0, 1]), p, dtype=jnp.float64))
+        assert np.all(np.isfinite(llr))
+        np.testing.assert_allclose(llr, [sign * 20.0, -sign * 20.0])
+
+
 def test_rayleigh_channel(rng):
     chan = fec.RayleighFadingChannel(snr_db=10.0, seed=0)
     bits = rng.integers(0, 2, (200, 128))

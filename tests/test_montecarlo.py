@@ -64,6 +64,64 @@ def test_checkpoint_resume(tmp_path):
     assert resumed.frame_errors == full.frame_errors
 
 
+def test_checkpoint_resume_unaligned(tmp_path):
+    # num_frames NOT a multiple of chunk_frames: the checkpoint must record
+    # the last *accounted* frame id (not the chunk boundary), so the resumed
+    # run re-simulates the trimmed tail and covers the same frame set
+    step, K = _polar_step(snr_db=0.0)
+    ckpt = tmp_path / "mc.json"
+    full = MonteCarloSimulator(step, K, chunk_frames=50).run(300, seed=9)
+    sim = MonteCarloSimulator(step, K, chunk_frames=50)
+    sim.run(130, seed=9, checkpoint_path=ckpt)  # trims 20 frames off chunk 3
+    resumed = sim.run(300, seed=9, checkpoint_path=ckpt)
+    assert resumed.frames == 300
+    assert resumed.bit_errors == full.bit_errors
+    assert resumed.frame_errors == full.frame_errors
+
+
+def test_checkpoint_resume_after_early_stop_crossing(tmp_path):
+    # early stop crosses mid-chunk; resuming with a larger budget must match
+    # a fresh run with that budget (the crossing chunk's un-accounted frames
+    # are re-simulated, not skipped)
+    step, K = _polar_step(snr_db=-10.0)
+    ckpt = tmp_path / "mc.json"
+    fresh = MonteCarloSimulator(step, K, chunk_frames=32).run(
+        10_000, max_errors=50, seed=0)
+    sim = MonteCarloSimulator(step, K, chunk_frames=32)
+    first = sim.run(10_000, max_errors=20, seed=0, checkpoint_path=ckpt)
+    assert first.frames % 32 != 0  # crossing really was mid-chunk
+    resumed = sim.run(10_000, max_errors=50, seed=0, checkpoint_path=ckpt)
+    assert resumed.frames == fresh.frames
+    assert resumed.bit_errors == fresh.bit_errors
+    assert resumed.frame_errors == fresh.frame_errors
+
+
+def test_resume_of_finished_early_stop_run_is_noop(tmp_path):
+    # re-entering run() on a checkpoint that already crossed max_errors must
+    # account zero additional frames (ADVICE r1: no spurious frame)
+    step, K = _polar_step(snr_db=-10.0)
+    ckpt = tmp_path / "mc.json"
+    sim = MonteCarloSimulator(step, K, chunk_frames=32)
+    first = sim.run(10_000, max_errors=20, seed=0, checkpoint_path=ckpt)
+    again = sim.run(10_000, max_errors=20, seed=0, checkpoint_path=ckpt)
+    assert again.frames == first.frames
+    assert again.frame_errors == first.frame_errors
+
+
+def test_scalar_reduction_early_stop_chunk_bound():
+    # multi-host accounting stops at chunk granularity: the overshoot versus
+    # exact per-frame accounting is bounded by one chunk (SURVEY §5 /
+    # VERDICT r1 weak #4)
+    step, K = _polar_step(snr_db=-10.0)
+    per = MonteCarloSimulator(step, K, chunk_frames=32).run(
+        10_000, max_errors=20, seed=0)
+    sca = MonteCarloSimulator(step, K, chunk_frames=32,
+                              reduction="scalar").run(10_000, max_errors=20, seed=0)
+    assert sca.frame_errors >= 20
+    assert sca.frames % 32 == 0  # chunk granularity
+    assert per.frames <= sca.frames < per.frames + 32
+
+
 def test_polar_scl_pipeline_runs():
     step, K = _polar_step(snr_db=2.0, decoder="scl", list_size=4)
     res = MonteCarloSimulator(step, K, chunk_frames=64).run(128, seed=1)
