@@ -24,10 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
-def awgn_noise_std(snr_db: float) -> float:
-    """σ = sqrt(1/(2·SNR_lin)) — reference ``awgn.py:29-32``."""
-    snr_linear = 10.0 ** (snr_db / 10.0)
-    return math.sqrt(1.0 / (2.0 * snr_linear))
+def awgn_noise_std(snr_db):
+    """σ = sqrt(1/(2·SNR_lin)) — reference ``awgn.py:29-32``.
+
+    Accepts a Python float (computed on host in float64, the bit-exact
+    parity path) or a traced JAX scalar (computed on device, enabling one
+    compiled Monte-Carlo step to serve a whole SNR sweep — the runtime-SNR
+    pipelines in ``sim.pipelines``)."""
+    if isinstance(snr_db, (int, float)):
+        snr_linear = 10.0 ** (snr_db / 10.0)
+        return math.sqrt(1.0 / (2.0 * snr_linear))
+    snr_linear = 10.0 ** (jnp.asarray(snr_db) / 10.0)
+    return jnp.sqrt(1.0 / (2.0 * snr_linear))
 
 
 def bpsk_modulate(bits, dtype=jnp.float32):

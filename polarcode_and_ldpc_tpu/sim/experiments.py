@@ -150,9 +150,17 @@ def test_multiple_rates(
     sim: Optional[SimulationConfig] = None,
     mesh=None,
     verbose: bool = False,
+    algorithm: Optional[str] = None,
+    list_size: int = 8,
 ) -> dict:
     """Rate sweep (reference ``test_snr_curves.py:166-239``): one BER/FER
-    curve per code rate."""
+    curve per code rate.
+
+    ``algorithm`` selects the polar decoder (``sc`` default; ``ca_scl`` is
+    the flagship configuration — runtime-SNR pipelines make the whole curve
+    cost one compile, so list decoding is affordable here) or the LDPC
+    decoder (``bp`` default).
+    """
     sim = sim or SimulationConfig(snr_start=-2, snr_stop=5, snr_step=1,
                                   num_frames=100, max_errors=100)
     out: dict = {"self": {}}
@@ -160,14 +168,16 @@ def test_multiple_rates(
         label = f"{rate:.2f}"
         if family == "polar":
             K = int(round(N * rate))
-            cfg = PolarCodeConfig(N=N, K=K, algorithm="sc")
+            cfg = PolarCodeConfig(N=N, K=K, algorithm=algorithm or "sc",
+                                  list_size=list_size)
             res = simulate_polar(cfg, sim, mesh, verbose)
         elif family == "ldpc":
             k = int(round(N * rate))
             # keep dv=3; dc from the rate: dv·n = dc·m ⇒ dc = dv·n/(n−k)
             m = N - k
             dc = max(4, int(round(3 * N / m)))
-            cfg = LDPCCodeConfig(n=N, k=k, dv=3, dc=dc)
+            cfg = LDPCCodeConfig(n=N, k=k, dv=3, dc=dc,
+                                 algorithm=algorithm or "bp")
             res = simulate_ldpc(cfg, sim, mesh, verbose)
         else:
             raise ValueError(f"unknown family {family!r}")

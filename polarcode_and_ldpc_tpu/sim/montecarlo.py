@@ -135,12 +135,12 @@ class MonteCarloSimulator:
             step_fn = reduce_step(step_fn)
         self._step = jax.jit(step_fn)
 
-    def _dispatch_chunk(self, root_key, start: int):
+    def _dispatch_chunk(self, root_key, start: int, extra_args: tuple = ()):
         """Launch one chunk asynchronously (device arrays, not fetched)."""
         ids = jnp.arange(start, start + self.chunk_frames, dtype=jnp.uint32)
         if self._id_sharding is not None:
             ids = jax.device_put(ids, self._id_sharding)
-        return self._step(root_key, ids)
+        return self._step(root_key, ids, *extra_args)
 
     def _fetch_chunk(self, out):
         if self.reduction == "scalar":
@@ -171,10 +171,16 @@ class MonteCarloSimulator:
         start_frame: int = 0,
         checkpoint_path: Optional[str | Path] = None,
         checkpoint_every_chunks: int = 50,
+        extra_args: tuple = (),
     ) -> MonteCarloResult:
         """Simulate up to ``num_frames`` frames, stopping early once
         ``max_errors`` frame errors accumulate (reference
-        ``ber_simulation.py:191-192``)."""
+        ``ber_simulation.py:191-192``).
+
+        ``extra_args`` is forwarded to the step after ``(key, frame_ids)``
+        — runtime channel parameters (e.g. a traced ``snr_db`` scalar for
+        runtime-SNR pipelines); scalars of the same dtype re-use the one
+        compiled program."""
         root_key = jax.random.PRNGKey(seed)
         acc = MonteCarloResult(frames=0, bit_errors=0, frame_errors=0,
                                bits_per_frame=self.bits_per_frame,
@@ -192,12 +198,13 @@ class MonteCarloSimulator:
         # execution) before chunk k's results are fetched and accounted, so
         # the device never idles during host-side accounting/transfers (the
         # reference's strictly sequential loop, ber_simulation.py:167-192)
-        pending = self._dispatch_chunk(root_key, offset) if num_frames else None
+        pending = (self._dispatch_chunk(root_key, offset, extra_args)
+                   if num_frames else None)
         pending_offset = offset
         while acc.frames < num_frames:
             next_offset = pending_offset + self.chunk_frames
             may_continue = acc.frames + self.chunk_frames < num_frames
-            nxt = (self._dispatch_chunk(root_key, next_offset)
+            nxt = (self._dispatch_chunk(root_key, next_offset, extra_args)
                    if may_continue else None)
             stats = self._fetch_chunk(pending)
             if self.reduction == "scalar":
@@ -215,7 +222,8 @@ class MonteCarloSimulator:
             if max_errors is not None and acc.frame_errors >= max_errors:
                 break
             if pending is None and acc.frames < num_frames:
-                pending = self._dispatch_chunk(root_key, pending_offset)
+                pending = self._dispatch_chunk(root_key, pending_offset,
+                                               extra_args)
             if (checkpoint_path is not None
                     and chunk_idx % checkpoint_every_chunks == 0):
                 acc.elapsed_seconds += time.perf_counter() - t0
