@@ -40,7 +40,10 @@ from .models.ldpc import (
     generate_ldpc_matrix,
     mackay_construction,
     regular_construction,
+    qc_base_matrix,
+    qc_expand,
     qc_ldpc_construction,
+    QCBPDecoder,
     peg_construction,
     create_systematic_generator,
     check_matrix_rank,
@@ -73,7 +76,10 @@ __all__ = [
     "generate_ldpc_matrix",
     "mackay_construction",
     "regular_construction",
+    "qc_base_matrix",
+    "qc_expand",
     "qc_ldpc_construction",
+    "QCBPDecoder",
     "peg_construction",
     "create_systematic_generator",
     "check_matrix_rank",

@@ -3,6 +3,8 @@
 from .matrix import (
     mackay_construction,
     regular_construction,
+    qc_base_matrix,
+    qc_expand,
     qc_ldpc_construction,
     generate_ldpc_matrix,
     peg_construction,
@@ -14,6 +16,7 @@ from .matrix import (
 from .graph import TannerGraph
 from .encoder import LDPCEncoder
 from .bp import BPDecoder
+from .qc import QCBPDecoder, make_qc_bp_decoder
 from .minsum import MSDecoder, NMSDecoder, OMSDecoder
 from .utils import (
     create_tanner_graph,
@@ -26,6 +29,8 @@ from .utils import (
 __all__ = [
     "mackay_construction",
     "regular_construction",
+    "qc_base_matrix",
+    "qc_expand",
     "qc_ldpc_construction",
     "generate_ldpc_matrix",
     "peg_construction",
@@ -36,6 +41,8 @@ __all__ = [
     "TannerGraph",
     "LDPCEncoder",
     "BPDecoder",
+    "QCBPDecoder",
+    "make_qc_bp_decoder",
     "MSDecoder",
     "NMSDecoder",
     "OMSDecoder",

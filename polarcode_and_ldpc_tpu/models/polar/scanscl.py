@@ -1,39 +1,48 @@
-"""Chunk-scan SCL decoder — compile-light fast path for large N / batch.
+"""Chunk-scan SCL decoder — compile-light, lane-efficient fast path.
 
-The unrolled decoder (``fastscl.py``) emits O(N) distinct XLA ops; its
-compile time grows with both N and batch (measured ~101 s for SCL-8 N=1024
-at batch 512 on v5e, ~8 min for N=4096 SCL-32), which caps the usable batch
-size and with it the throughput (the decode is op-overhead-bound, not
-FLOP-bound).  This module restructures the same algorithm so XLA compiles a
-*constant-size* program regardless of N:
+Two structural problems cap the unrolled decoder's (``fastscl.py``)
+throughput on TPU:
 
+1. **compile scale** — it emits O(N) distinct XLA ops and its compile time
+   grows with N *and* batch (measured ~101 s for SCL-8 N=1024 at batch 512
+   on v5e, ~8 min for N=4096 SCL-32), capping the usable batch size;
+2. **lane waste** — its ``[batch, L, M]`` layout puts the subtree width M
+   (1…N, mostly ≤ 64) on the 128-lane axis, so most vector slots idle;
+   measured per-frame decode cost is nearly batch-independent, i.e. the
+   work is layout-inflated, not op-overhead-bound.
+
+This module restructures the same algorithm around both problems:
+
+* **batch-last layout**: every tensor carries the frame batch on the
+  trailing (lane) axis — alphas ``[L, M, B]``, metrics ``[L, B]``,
+  one-hot selections ``[L, L, B]``.  All ops are elementwise over B, so
+  lanes are always full; list/one-hot algebra runs as static L-term
+  broadcast loops (never ``dot_general``, which could re-transpose);
 * **bit-reversed storage**: the channel LLRs are permuted once so every
-  even/odd deinterleave of the natural-order recursion becomes a contiguous
-  half-split, and the leaf visit order in storage equals the reference's
-  bit-reversed decode order (``src/polar/decoder.py:54-55``);
+  even/odd deinterleave of the natural-order recursion becomes a
+  contiguous half-split, and the leaf visit order in storage equals the
+  reference's bit-reversed decode order (``src/polar/decoder.py:54-55``);
 * **chunk scan**: the code tree is cut at subtree size ``S``; a
-  ``lax.scan`` walks the ``C = N/S`` chunks in DFS order.  One *uniform*
-  chunk body (frozen flags as traced data, per-leaf ``lax.cond``) decodes
-  each size-``S`` subtree — compiled once, executed C times;
+  ``lax.scan`` walks the ``C = N/S`` chunks in DFS order, dispatching one
+  specialized body per *unique* chunk frozen pattern (``lax.switch``) —
+  compile cost scales with the number of pattern classes (polarization
+  subchannel classes), not with N or batch;
 * **semi-parallel stage stack**: between chunks, alphas/left-betas for the
   outer levels 1..t (t = log2 C) live in fixed-shape per-level arrays; the
-  varying descend/ascend work per chunk (which levels recompute, f vs g,
-  which combine) is driven by host-precomputed static schedules through
-  ``lax.cond`` — classic semi-parallel SC architecture, list-extended;
-* **lazy list permutations**: pruning at info leaves permutes the list axis
-  of all live state.  Each outer level keeps a *pending* one-hot
-  permutation ``[B, L, L]`` (composed with the chunk's relative permutation
-  after every chunk, cost O(L³) each); the stored alpha/beta is refreshed
-  on the fly only when a schedule event actually reads it, and pendings
-  reset to identity on writes.  This preserves the unrolled decoder's
-  O(L²·N·log) one-hot gather traffic instead of the O(L²·N·C) an eager
-  whole-stack permute would cost.
+  varying descend/ascend work per chunk is driven by host-precomputed
+  static schedules through ``lax.cond``;
+* **lazy list permutations**: pruning at info leaves permutes the list
+  axis of all live state.  Each outer level keeps a *pending* one-hot
+  permutation, composed with the chunk's relative permutation after every
+  chunk; stored state is refreshed on the fly only when a schedule event
+  actually reads it, and pendings reset to identity on writes — keeping
+  the unrolled decoder's O(L²·N·log) one-hot traffic instead of the
+  O(L²·N·C) an eager whole-stack permute would cost.
 
-Outputs are bit-exact with the reference semantics twin
+Outputs are bit-exact with the reference-semantics twin
 (``parity/polar_np.scl_decode_np``) and ``scl.make_scl_decoder``: identical
-leaf visit order, identical candidate ordering and stable tie-breaking,
-identical sequential metric accumulation at frozen leaves
-(``src/polar/decoder.py:264-281``), identical −inf phantom-path handling.
+leaf visit order, identical candidate ordering and stable tie-breaking
+(``src/polar/decoder.py:299-307``), identical −inf phantom-path handling.
 
 Reference semantics: ``/root/reference/src/polar/decoder.py:176-444``.
 """
@@ -47,80 +56,142 @@ from jax import lax
 
 from .construction import bit_reverse_permutation
 from .encoder import polar_transform
-from .fastscl import _d0_d1, _sel_metrics, _stable_topk_onehot
 from .trellis import f_minsum
 
 _NEG_INF = -jnp.inf
 
 
+# ---------------------------------------------------------------------------
+# batch-last one-hot list algebra
+#
+# Selections/permutations are one-hot tensors P [L_out, L_in, B]:
+# out[l, b] selects in[j, b] where P[l, j, b] = 1.  Applications and
+# compositions are static loops of elementwise broadcast multiply-adds —
+# full-lane VPU work; exact for one-hot P and finite operands.
+# ---------------------------------------------------------------------------
+
+def _d0_d1(a):
+    """(log P(0|llr), log P(1|llr)) — reference ``decoder.py:374-406``."""
+    zero = jnp.zeros_like(a)
+    return -jnp.logaddexp(zero, -a), -jnp.logaddexp(zero, a)
+
+
 def _apply_perm(P, x):
-    """Apply one-hot selection ``P [B, L, J]`` along the list axis of
-    ``x [B, J, ...]`` (exact for one-hot P and finite x)."""
-    xf = x.reshape(x.shape[0], x.shape[1], -1)
-    out = jnp.einsum("blj,bjm->blm", P, xf.astype(P.dtype),
-                     preferred_element_type=P.dtype)
-    return out.reshape(x.shape[0], P.shape[1], *x.shape[2:])
+    """``P [L, J, B]`` applied to ``x [J, M, B]`` → ``[L, M, B]``."""
+    J = x.shape[0]
+    acc = P[:, 0, None, :] * x[0][None]
+    for j in range(1, J):
+        acc = acc + P[:, j, None, :] * x[j][None]
+    return acc
 
 
 def _apply_perm_bits(P, bits):
-    return _apply_perm(P, bits).astype(jnp.int8)
+    """One-hot apply on int8 0/1 planes (exact via f32 accumulate)."""
+    return _apply_perm(P, bits.astype(P.dtype)).astype(jnp.int8)
 
 
 def _compose(A, B):
-    """Composition of selection maps: apply B first, then A (⇒ A @ B)."""
-    return jnp.einsum("blj,bjk->blk", A, B, preferred_element_type=A.dtype)
+    """Composition (apply B first, then A): ``C[l,k,b] = Σ_j A[l,j,b]·B[j,k,b]``."""
+    J = B.shape[0]
+    acc = A[:, 0, None, :] * B[0][None]
+    for j in range(1, J):
+        acc = acc + A[:, j, None, :] * B[j][None]
+    return acc
+
+
+def _stable_topk_onehot(cand, Lsz):
+    """Stable-descending top-L selection one-hot ``S [L, 2L, B]`` over
+    candidates ``cand [2L, B]`` — the reference's ordering (sort by metric
+    desc, ties by candidate index; Python stable sort,
+    ``decoder.py:306-307``)."""
+    two_l = cand.shape[0]
+    gt = cand[None, :, :] > cand[:, None, :]            # [i, j, B]: cand_j > cand_i
+    eq = cand[None, :, :] == cand[:, None, :]
+    jlti = jnp.tril(jnp.ones((two_l, two_l), bool), k=-1)[..., None]  # j < i
+    before = gt | (eq & jlti)
+    rank = jnp.sum(before, axis=1, dtype=jnp.int32)      # [2L, B]
+    slots = jnp.arange(Lsz, dtype=jnp.int32)
+    return (rank[None, :, :] == slots[:, None, None]).astype(cand.dtype)
+
+
+def _sel_metrics(S, cand):
+    """Select metrics ``[2L, B] → [L, B]`` by one-hot ``S [L, 2L, B]``.
+    Masked sum, not matmul: −inf phantoms would poison ``0 × (−inf)``."""
+    return jnp.sum(jnp.where(S != 0, cand[None, :, :], 0), axis=1)
+
+
+def _info_leaf(a, pm, Lsz):
+    """Branch + stable top-L prune at one info leaf (``decoder.py:283-339``).
+
+    ``a [L, B]`` leaf LLRs, ``pm [L, B]`` → (bit plane ``[L, 1, B]`` int8,
+    pm, R ``[L, L, B]``)."""
+    d0, d1 = _d0_d1(a)
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2L, B]
+    S2 = _stable_topk_onehot(cand, Lsz)
+    pm2 = _sel_metrics(S2, cand)
+    bits = jnp.sum(S2[:, Lsz:, :], axis=1).astype(jnp.int8)
+    R = S2[:, :Lsz, :] + S2[:, Lsz:, :]
+    return bits[:, None, :], pm2, R
 
 
 def _ctz(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
-def _make_chunk_body(S: int, Lsz: int, dtype):
-    """Uniform size-S subtree decoder.
+def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype):
+    """Specialized size-S subtree decoder for one *static* frozen pattern.
 
-    ``body(alpha [B,L,S], pm [B,L], flags [S] traced bool) →
-    (beta [B,L,S] int8, pm [B,L], R [B,L,L] one-hot)``; ``R`` maps
-    post-chunk list slots to pre-chunk slots (``after[l] = before[R[l]]``).
-    Frozen structure arrives as *data*, so one compiled body serves every
-    chunk of every code — per-leaf ``lax.cond`` picks the frozen
-    (metric-update only, reference ``decoder.py:264-281``) or info
-    (branch + stable top-L prune, ``decoder.py:283-339``) path at runtime.
+    ``body(alpha [L,S,B], pm [L,B]) → (beta [L,S,B] int8, pm, R [L,L,B])``;
+    ``R`` maps post-chunk list slots to pre-chunk slots
+    (``after[l] = before[R[l]]``).  Static specialization keeps the
+    unrolled decoder's structural shortcuts: rate-0 subtrees collapse to a
+    pure metric recursion and permutation re-indexing is skipped wherever
+    no prune can occur (``R = None``) — ``fastscl.node`` on contiguous
+    halves, batch-last.
     """
+    flags = np.asarray(flags, bool)
+    S = len(flags)
 
-    def node(alpha, pm, off: int, size: int, flags):
-        batch = alpha.shape[0]
-        eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype), (batch, Lsz, Lsz))
+    def rate0_metric(alpha):
+        """Σ log P(0 | leaf llr) over an all-frozen subtree → [L, B]."""
+        if alpha.shape[1] == 1:
+            return _d0_d1(alpha[:, 0, :])[0]
+        h = alpha.shape[1] // 2
+        first, second = alpha[:, :h, :], alpha[:, h:, :]
+        return rate0_metric(f_minsum(first, second)) + rate0_metric(second + first)
+
+    def node(alpha, pm, off: int, size: int):
+        sub = flags[off:off + size]
+        if sub.all():  # rate-0: metrics only, no prune
+            return jnp.zeros(alpha.shape, jnp.int8), pm + rate0_metric(alpha), None
         if size == 1:
-            a = alpha[..., 0]
-            d0, d1 = _d0_d1(a)
-
-            def frozen_case(pm):
-                bits = jnp.zeros(a.shape, jnp.int8)
-                return bits[..., None], pm + d0, eye
-
-            def info_case(pm):
-                cand = jnp.concatenate([pm + d0, pm + d1], axis=-1)  # [B, 2L]
-                S2 = _stable_topk_onehot(cand, Lsz, dtype)
-                pm2 = _sel_metrics(S2, cand)
-                bits = jnp.sum(S2[..., Lsz:], axis=-1).astype(jnp.int8)
-                R = S2[..., :Lsz] + S2[..., Lsz:]
-                return bits[..., None], pm2, R
-
-            return lax.cond(flags[off], frozen_case, info_case, pm)
-
+            return _info_leaf(alpha[:, 0, :], pm, Lsz)
         half = size // 2
-        first, second = alpha[..., :half], alpha[..., half:]
-        beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half, flags)
-        alpha = _apply_perm(R_l, alpha)
-        first, second = alpha[..., :half], alpha[..., half:]
+        first, second = alpha[:, :half, :], alpha[:, half:, :]
+        beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
+        if R_l is not None:
+            alpha = _apply_perm(R_l, alpha)
+            first, second = alpha[:, :half, :], alpha[:, half:, :]
         sgn = 1.0 - 2.0 * beta_l.astype(alpha.dtype)
-        beta_r, pm, R_r = node(second + sgn * first, pm, off + half, half, flags)
-        beta_l = _apply_perm_bits(R_r, beta_l)
-        beta = jnp.concatenate([beta_l ^ beta_r, beta_r], axis=-1)
-        return beta, pm, _compose(R_r, R_l)
+        beta_r, pm, R_r = node(second + sgn * first, pm, off + half, half)
+        if R_r is not None:
+            beta_l = _apply_perm_bits(R_r, beta_l)
+        beta = jnp.concatenate([beta_l ^ beta_r, beta_r], axis=1)
+        if R_l is None:
+            R = R_r
+        elif R_r is None:
+            R = R_l
+        else:
+            R = _compose(R_r, R_l)
+        return beta, pm, R
 
-    def body(alpha, pm, flags):
-        return node(alpha, pm, 0, S, flags)
+    def body(alpha, pm):
+        beta, pm, R = node(alpha, pm, 0, S)
+        if R is None:
+            B = alpha.shape[-1]
+            R = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
+                                 (Lsz, Lsz, B))
+        return beta, pm, R
 
     return body
 
@@ -133,7 +204,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     (u [B, L, N] int8 natural order, metrics [B, L])``.
 
     ``chunk`` is the subtree size S cut by the scan (power of two ≤ N);
-    compile time is O(S + log(N/S)), independent of N and batch.
+    compile cost is O(unique patterns · S + log(N/S)), independent of batch.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -144,20 +215,41 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     Lsz = list_size
     rev = np.asarray(bit_reverse_permutation(N))
     chunk_flags_np = frozen_mask[rev].reshape(C, S)
-    body = _make_chunk_body(S, Lsz, dtype)
+    # one specialized body per unique chunk frozen pattern (lax.switch picks
+    # at runtime); chunk c covers u-indices ≡ rev(c) mod C, so patterns are
+    # polarization-subchannel classes and dedupe heavily at large N
+    pattern_ids = np.zeros(C, np.int32)
+    unique: dict[bytes, int] = {}
+    unique_flags: list[np.ndarray] = []
+    for c in range(C):
+        key = chunk_flags_np[c].tobytes()
+        if key not in unique:
+            unique[key] = len(unique_flags)
+            unique_flags.append(chunk_flags_np[c])
+        pattern_ids[c] = unique[key]
+    bodies = [_make_chunk_body(f, Lsz, dtype) for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
 
+    def _finish(root_bits_lnb, pm_lb):
+        """[L, N, B] bit-rev β + [L, B] metrics → public [B, L, N]/[B, L]."""
+        beta_nat = jnp.transpose(root_bits_lnb, (2, 0, 1))[..., rev_j]
+        return polar_transform(beta_nat), jnp.transpose(pm_lb, (1, 0))
+
+    def _init_pm(batch):
+        pm = jnp.full((Lsz, batch), _NEG_INF, dtype)
+        return pm.at[0, :].set(0.0)
+
     if C == 1:
-        flags_const = jnp.asarray(chunk_flags_np[0])
+        body = bodies[0]
 
         def decode_single(llr):
             llr = jnp.asarray(llr, dtype)
             assert llr.ndim == 2, "SCL decode expects [batch, N]"
             batch = llr.shape[0]
-            alpha = jnp.broadcast_to(llr[:, rev_j][:, None, :], (batch, Lsz, N))
-            pm = jnp.full((batch, Lsz), _NEG_INF, dtype).at[:, 0].set(0.0)
-            beta, pm, _ = body(alpha, pm, flags_const)
-            return polar_transform(beta[..., rev_j]), pm
+            llr_nb = jnp.transpose(llr[:, rev_j], (1, 0))  # [N, B]
+            alpha = jnp.broadcast_to(llr_nb[None], (Lsz, N, batch))
+            beta, pm, _ = body(alpha, _init_pm(batch))
+            return _finish(beta, pm)
 
         return decode_single
 
@@ -189,24 +281,26 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     xs = {
         "upd": jnp.asarray(upd), "dirr": jnp.asarray(dirr),
         "asc": jnp.asarray(asc), "store": jnp.asarray(store),
-        "last": jnp.asarray(is_last), "flags": jnp.asarray(chunk_flags_np),
+        "last": jnp.asarray(is_last), "pid": jnp.asarray(pattern_ids),
     }
 
     def decode(llr):
         llr = jnp.asarray(llr, dtype)
         assert llr.ndim == 2, "SCL decode expects [batch, N]"
         batch = llr.shape[0]
-        llr_b = llr[:, rev_j]  # bit-reversed storage (halves == even/odd)
-        eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype), (batch, Lsz, Lsz))
+        # bit-reversed storage, batch-last: [N, B]
+        llr_nb = jnp.transpose(llr[:, rev_j], (1, 0))
+        eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
+                               (Lsz, Lsz, batch))
         carry = dict(
-            alpha=tuple(jnp.zeros((batch, Lsz, sizes[l]), dtype)
+            alpha=tuple(jnp.zeros((Lsz, sizes[l], batch), dtype)
                         for l in range(1, t + 1)),
             pend_a=tuple(eye for _ in range(t)),
-            beta=tuple(jnp.zeros((batch, Lsz, sizes[l]), jnp.int8)
+            beta=tuple(jnp.zeros((Lsz, sizes[l], batch), jnp.int8)
                        for l in range(1, t + 1)),
             pend_b=tuple(eye for _ in range(t)),
-            pm=jnp.full((batch, Lsz), _NEG_INF, dtype).at[:, 0].set(0.0),
-            root=jnp.zeros((batch, Lsz, N), jnp.int8),
+            pm=_init_pm(batch),
+            root=jnp.zeros((Lsz, N, batch), jnp.int8),
         )
 
         def chunk_step(carry, x):
@@ -216,25 +310,25 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             pend_b = list(carry["pend_b"])
             pm = carry["pm"]
 
-            # ---- descend: refresh-on-read, masked f/g level updates -------
+            # ---- descend: refresh-on-read, cond-gated f/g level updates ---
             for l in range(1, t + 1):
                 i = l - 1
                 M = sizes[l]
 
                 def do_update(alpha_l, _l=l, _i=i, _M=M):
                     if _l == 1:  # parent = channel LLR: path-invariant
-                        parent = llr_b[:, None, :]
+                        parent = llr_nb[None]  # [1, N, B]
                     else:
                         parent = _apply_perm(pend_a[_i - 1], alpha[_i - 1])
-                    first, second = parent[..., :_M], parent[..., _M:]
+                    first, second = parent[:, :_M, :], parent[:, _M:, :]
 
                     def g_update(_):
-                        left_bits = _apply_perm(pend_b[_i], beta[_i])  # 0/1 f32
-                        return second + (1.0 - 2.0 * left_bits) * first
+                        left = _apply_perm(pend_b[_i], beta[_i].astype(dtype))
+                        return second + (1.0 - 2.0 * left) * first
 
                     def f_update(_):
                         return jnp.broadcast_to(f_minsum(first, second),
-                                                (batch, Lsz, _M))
+                                                (Lsz, _M, batch))
 
                     return lax.cond(x["dirr"][_l], g_update, f_update, None)
 
@@ -242,8 +336,11 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                                     lambda a: a, alpha[i])
                 pend_a[i] = jnp.where(x["upd"][l], eye, pend_a[i])
 
-            # ---- chunk body: decode the size-S subtree --------------------
-            beta_c, pm, R = body(alpha[t - 1], pm, x["flags"])
+            # ---- chunk body: decode the size-S subtree (specialized) ------
+            if len(bodies) == 1:
+                beta_c, pm, R = bodies[0](alpha[t - 1], pm)
+            else:
+                beta_c, pm, R = lax.switch(x["pid"], bodies, alpha[t - 1], pm)
 
             # ---- compose the chunk's relative permutation into pendings ---
             for i in range(t):
@@ -257,10 +354,10 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
                 def combine(cur, _i=i):
                     left = _apply_perm_bits(pend_b[_i], beta[_i])
-                    return jnp.concatenate([left ^ cur, cur], axis=-1)
+                    return jnp.concatenate([left ^ cur, cur], axis=1)
 
                 def no_combine(cur):
-                    return jnp.concatenate([cur, cur], axis=-1)  # dead value
+                    return jnp.concatenate([cur, cur], axis=1)  # dead value
 
                 beta[i] = jnp.where(x["store"][l], cur, beta[i])
                 pend_b[i] = jnp.where(x["store"][l], eye, pend_b[i])
@@ -274,6 +371,6 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         carry, _ = lax.scan(chunk_step, carry, xs)
         # root beta is the re-encoded codeword in bit-reversed storage;
         # un-permute, then u = β·G_N (the transform is an involution)
-        return polar_transform(carry["root"][..., rev_j]), carry["pm"]
+        return _finish(carry["root"], carry["pm"])
 
     return decode

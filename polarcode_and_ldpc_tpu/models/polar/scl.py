@@ -60,7 +60,8 @@ def select_best_path(info_paths, metrics, crc=None):
 
 
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
-                     dtype=jnp.float32, impl: str = "unrolled"):
+                     dtype=jnp.float32, impl: str = "unrolled",
+                     chunk: int = 64):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -68,13 +69,20 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
     necessarily the best path; use the metrics / CRC to select).
 
     ``impl``: ``"unrolled"`` (default — recursive fast path with lazy path-
-    permutation composition, see ``fastscl.py``) or ``"scan"`` (the
+    permutation composition, see ``fastscl.py``), ``"scan-chunked"`` (the
+    compile-light ``lax.scan``-over-subtrees fast path, ``scanscl.py`` —
+    compile cost independent of N/batch, so large batches and large N are
+    affordable; ``chunk`` sets the subtree size), or ``"scan"`` (the
     reference-trellis formulation below).  Bit-identical outputs.
     """
     if impl == "unrolled":
         from .fastscl import make_scl_decoder_unrolled
 
         return make_scl_decoder_unrolled(N, frozen_mask, list_size, dtype)
+    if impl == "scan-chunked":
+        from .scanscl import make_scl_decoder_scan
+
+        return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size

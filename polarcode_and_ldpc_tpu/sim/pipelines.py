@@ -247,6 +247,8 @@ def make_ldpc_pipeline(
     message_idx: Optional[np.ndarray] = None,
     dtype=jnp.float32,
     channel_fn: Optional[Callable] = None,
+    qc_base: Optional[np.ndarray] = None,
+    z: Optional[int] = None,
 ):
     """End-to-end LDPC Monte-Carlo step (reference ``simulate_ldpc``,
     ``ber_simulation.py:208-293``).
@@ -256,6 +258,11 @@ def make_ldpc_pipeline(
         G_kn: ``[k, n]`` generator (systematic or not).
         message_idx: positions of the k message bits inside the codeword
             (defaults to ``0..k-1``, the systematic convention).
+        qc_base, z: shift matrix + lift size of a quasi-cyclic code
+            (``matrix.qc_base_matrix``): message passing then runs through
+            the roll-based QC decoder (``models/ldpc/qc.py``) — the
+            gather-free path that scales to n=8192.  Bit-identical to the
+            generic decoder on the same H.
     """
     H = np.asarray(H)
     G = jnp.asarray((np.asarray(G_kn) % 2).astype(np.int8))
@@ -264,10 +271,18 @@ def make_ldpc_pipeline(
     midx = jnp.asarray(
         np.arange(k) if message_idx is None else np.asarray(message_idx), jnp.int32
     )
-    graph = TannerGraph.from_H(H)
-    if decoder == "bp":
+    if qc_base is not None:
+        from ..models.ldpc.qc import make_qc_bp_decoder
+
+        variant = {"bp": "bp", "ms": "ms", "min-sum": "ms", "nms": "nms",
+                   "oms": "oms"}[decoder]
+        dec = make_qc_bp_decoder(qc_base, z, max_iter, early_stop, dtype,
+                                 variant, normalization, offset)
+    elif decoder == "bp":
+        graph = TannerGraph.from_H(H)
         dec = make_bp_decoder(graph, max_iter, early_stop, dtype)
     elif decoder in ("ms", "min-sum", "nms", "oms"):
+        graph = TannerGraph.from_H(H)
         dec = make_ms_decoder(graph, max_iter, normalization, offset, early_stop, dtype)
     else:
         raise ValueError(f"unknown LDPC decoder: {decoder!r}")

@@ -83,6 +83,55 @@ def test_unrolled_scl_equals_scan(rng):
     np.testing.assert_array_equal(np.asarray(u_u), np.asarray(u_s))
 
 
+@pytest.mark.parametrize("N,L,S", [(16, 2, 4), (64, 8, 16), (128, 4, 64),
+                                   (64, 4, 64)])
+def test_scan_chunked_scl_exact(N, L, S, rng):
+    # chunk-scan fast path vs the NumPy twin — exact bits, exact-order
+    # metrics (sequential frozen-leaf accumulation matches the reference,
+    # decoder.py:264-281), including adversarial zero-LLR ties
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import make_scl_decoder_scan
+
+    mask = _mask(N, N // 2)
+    dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S, dtype=jnp.float64))
+    llr = rng.standard_normal((6, N)) * 1.5
+    llr[0, :3] = 0.0
+    u_paths, pm = dec(llr)
+    u_paths, pm = np.asarray(u_paths), np.asarray(pm)
+    for i in range(len(llr)):
+        _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
+        np.testing.assert_allclose(pm[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(u_paths[i], ref_paths)
+
+
+def test_scan_chunked_scl_equals_unrolled(rng):
+    N, L = 256, 8
+    mask = _mask(N, 130)  # non-power-of-two K → irregular chunk patterns
+    unrolled = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                        impl="unrolled"))
+    chunked = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                       impl="scan-chunked", chunk=32))
+    llr = rng.standard_normal((8, N)) * 1.5
+    u_u, pm_u = unrolled(llr)
+    u_c, pm_c = chunked(llr)
+    np.testing.assert_allclose(np.asarray(pm_u), np.asarray(pm_c), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u_u), np.asarray(u_c))
+
+
+def test_scan_chunked_scl_flagship_size(rng):
+    # N=1024 SCL: chunk-scan must equal the unrolled fast path bit-for-bit
+    N, L = 1024, 8
+    mask = _mask(N, 512)
+    unrolled = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                        impl="unrolled"))
+    chunked = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                       impl="scan-chunked", chunk=64))
+    llr = rng.standard_normal((4, N)) * 1.5
+    u_u, pm_u = unrolled(llr)
+    u_c, pm_c = chunked(llr)
+    np.testing.assert_allclose(np.asarray(pm_u), np.asarray(pm_c), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u_u), np.asarray(u_c))
+
+
 def test_decoder_classes_accept_impl(rng):
     sc_u = fec.SCDecoder(64, 32, impl="unrolled")
     sc_s = fec.SCDecoder(64, 32, impl="scan")

@@ -31,6 +31,36 @@ def test_generate_ldpc_matrix_methods():
         assert H.sum() > 0
 
 
+def test_peg_construction_vectorized_and_fast():
+    # selection order must equal the reference's per-edge argmin
+    # (matrix.py:94-132: least-loaded check, ties to lowest index)
+    def peg_ref(n, k, dv):
+        m = n - k
+        H = np.zeros((m, n), dtype=np.int64)
+        for col in range(n):
+            selected = []
+            for _ in range(dv):
+                row_sums = H.sum(axis=1)
+                available = [i for i in range(m) if i not in selected]
+                if not available:
+                    break
+                best = min(available, key=lambda i: row_sums[i])
+                selected.append(best)
+                H[best, col] = 1
+        return H
+
+    for n, k, dv in [(60, 30, 3), (48, 24, 5), (20, 16, 6)]:
+        np.testing.assert_array_equal(fec.peg_construction(n, k, dv),
+                                      peg_ref(n, k, dv))
+    # scale: n=8192 must construct in seconds, not minutes (VERDICT r1 #10)
+    import time
+
+    t0 = time.time()
+    H = fec.peg_construction(8192, 4096, 3)
+    assert time.time() - t0 < 30
+    np.testing.assert_array_equal(H.sum(axis=0), 3)
+
+
 def test_systematic_generator_orthogonal():
     H = fec.mackay_construction(48, 24, dv=3, dc=6, seed=2)
     G, Hs = fec.create_systematic_generator(H)
