@@ -76,10 +76,12 @@ def _polar_encode_host(msgs, N, info_bits):
     return u
 
 
-def bench_polar_scl8(batch: int = 512) -> dict:
-    # batch sweep on v5e (honest timing): 256 → 9.9 Mbps, 512 → ~15 Mbps,
-    # 1024 → ~20 Mbps; compile time grows too (113/200/285 s), 512 is the
-    # budget-safe point for the driver's bench window
+def bench_polar_scl8(batch: int = 8192) -> dict:
+    # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
+    # subtree patterns) and the batch-last layout keeps lanes full, so big
+    # batches are affordable.  v5e measurements (2026-08-17): batch 4096 →
+    # 57.9 Mbps (compile ~4 min), 8192 → 66.6 Mbps (compile ~2.7 min); the
+    # old unrolled decoder peaked at 23.8 Mbps @ batch 512 (compile ~100 s).
     import jax
 
     import jax.numpy as jnp
@@ -89,6 +91,10 @@ def bench_polar_scl8(batch: int = 512) -> dict:
         frozen_mask_from_positions,
     )
     from polarcode_and_ldpc_tpu.models.polar.scl import make_scl_decoder
+    from polarcode_and_ldpc_tpu.utils.complexity import (
+        decode_roofline,
+        polar_complexity,
+    )
 
     N, K, L, snr_db = 1024, 512, 8, 3.0
     frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
@@ -98,8 +104,8 @@ def bench_polar_scl8(batch: int = 512) -> dict:
     cw = _polar_encode_host(msgs, N, info_bits)
     llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=42))
 
-    _log("polar: compiling SCL-8 N=1024 ...")
-    decode = jax.jit(make_scl_decoder(N, frozen_mask, L))
+    _log(f"polar: compiling SCL-8 N=1024 (scan-chunked, batch {batch}) ...")
+    decode = jax.jit(make_scl_decoder(N, frozen_mask, L, impl="scan-chunked"))
     t_first = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(decode(llr))
     _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
@@ -109,8 +115,14 @@ def bench_polar_scl8(batch: int = 512) -> dict:
     u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
     best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info_bits]
     ber = float((best != msgs).mean())
-    _log(f"polar: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
-    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
+    # roofline anchor (north star): achieved algorithmic op rate vs chip
+    # ceiling, using the reference's closed-form op count for comparability
+    ops = polar_complexity(N, K, L)["scl_decoding"]["operations"]
+    roof = decode_roofline(ops, batch / t)
+    _log(f"polar: {mbps:.1f} Mbps, BER@3dB {ber:.2e}, "
+         f"alg {roof['algorithmic_ops_per_s'] / 1e9:.1f} Gop/s")
+    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch,
+            "ber_3db": ber, "roofline": roof}
 
 
 def bench_ldpc_bp(batch: int = 1024) -> dict:
@@ -118,6 +130,11 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
     import jax.numpy as jnp
 
     import polarcode_and_ldpc_tpu as fec
+
+    from polarcode_and_ldpc_tpu.utils.complexity import (
+        decode_roofline,
+        ldpc_complexity,
+    )
 
     n, k, snr_db = 504, 252, 3.0
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
@@ -134,8 +151,11 @@ def bench_ldpc_bp(batch: int = 1024) -> dict:
     t = _time_steady_state(dec._decode, llr)
     mbps = batch * enc.k / t / 1e6
     ber = float((np.asarray(bits)[:, enc.info_positions] != msgs).mean())
+    ops = ldpc_complexity(n, k, 3, 6, 20)["bp_decoding"]["operations"]
+    roof = decode_roofline(ops, batch / t)
     _log(f"ldpc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
-    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch, "ber_3db": ber}
+    return {"mbps": mbps, "seconds_per_batch": t, "batch": batch,
+            "ber_3db": ber, "roofline": roof}
 
 
 def main() -> None:
@@ -155,6 +175,9 @@ def main() -> None:
         "unit": "Mbps",
         "vs_baseline": round(polar["mbps"] / BASELINE_SCL8_N1024_MBPS, 1),
         "polar_ber_3db": polar["ber_3db"],
+        "mfu_estimate": round(polar["roofline"]["mfu_vs_bf16_peak"], 6),
+        "alg_gops_per_s": round(
+            polar["roofline"]["algorithmic_ops_per_s"] / 1e9, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result), flush=True)
@@ -163,6 +186,7 @@ def main() -> None:
         ldpc_bp_n504_mbps=round(ldpc["mbps"], 3),
         ldpc_vs_baseline=round(ldpc["mbps"] / BASELINE_BP_N504_MBPS, 1),
         ldpc_ber_3db=ldpc["ber_3db"],
+        ldpc_mfu_estimate=round(ldpc["roofline"]["mfu_vs_bf16_peak"], 6),
     )
     print(json.dumps(result))
 

@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-frames", type=int, default=100)
     p.add_argument("--max-errors", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--polar-algorithm", default="sc",
+                   choices=["sc", "scl", "ca_scl"],
+                   help="polar decoder for the study (ca_scl = flagship)")
+    p.add_argument("--list-size", type=int, default=8)
     p.add_argument("--skip-plots", action="store_true")
     return p
 
@@ -50,7 +54,9 @@ def main(argv=None) -> dict:
 
     print(f"Polar N={args.polar_n}, rates {rates}:")
     polar = test_multiple_rates("polar", rates, N=args.polar_n, sim=sim,
-                                mesh=mesh, verbose=True)
+                                mesh=mesh, verbose=True,
+                                algorithm=args.polar_algorithm,
+                                list_size=args.list_size)
     save_results(polar, outdir / "polar_results.json")
     print(f"LDPC n={args.ldpc_n}, rates {rates}:")
     ldpc = test_multiple_rates("ldpc", rates, N=args.ldpc_n, sim=sim,

@@ -77,12 +77,12 @@ def _d0_d1(a):
 
 
 def _apply_perm(P, x):
-    """``P [L, J, B]`` applied to ``x [J, M, B]`` → ``[L, M, B]``."""
-    J = x.shape[0]
-    acc = P[:, 0, None, :] * x[0][None]
-    for j in range(1, J):
-        acc = acc + P[:, j, None, :] * x[j][None]
-    return acc
+    """``P [L, J, B]`` applied to ``x [J, M, B]`` → ``[L, M, B]``.
+
+    Broadcast-multiply + reduce (XLA fuses into one loop): batch stays on
+    lanes; never lowered through ``dot_general`` (which could re-transpose
+    to a batch-first layout)."""
+    return jnp.sum(P[:, :, None, :] * x[None], axis=1)
 
 
 def _apply_perm_bits(P, bits):
@@ -92,11 +92,7 @@ def _apply_perm_bits(P, bits):
 
 def _compose(A, B):
     """Composition (apply B first, then A): ``C[l,k,b] = Σ_j A[l,j,b]·B[j,k,b]``."""
-    J = B.shape[0]
-    acc = A[:, 0, None, :] * B[0][None]
-    for j in range(1, J):
-        acc = acc + A[:, j, None, :] * B[j][None]
-    return acc
+    return jnp.sum(A[:, :, None, :] * B[None], axis=1)
 
 
 def _stable_topk_onehot(cand, Lsz):

@@ -216,7 +216,11 @@ def make_polar_pipeline(
             return sc(llr)[..., info_idx], {}
 
     elif decoder in ("scl", "ca-scl"):
-        scl = make_scl_decoder(N, frozen_mask, list_size, dtype)
+        # auto impl: the chunk-scan fast path compiles in O(unique chunk
+        # patterns) and keeps lanes full at any batch — the right default
+        # for flagship-size codes; tiny codes keep the unrolled path
+        impl = "scan-chunked" if N >= 512 else "unrolled"
+        scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl)
 
         def decode(llr):
             u_paths, metrics = scl(llr)

@@ -46,6 +46,38 @@ def ldpc_complexity(n: int, k: int, dv: int = 3, dc: int = 6,
     }
 
 
+# -- roofline anchoring (north star: make "speed-of-light" measurable) -------
+# TPU v5e (one chip): published peaks.  The FEC decoders are elementwise/
+# VPU- and HBM-bound, not MXU matmul workloads, so MFU versus the bf16
+# matmul peak is a deliberately conservative *upper-bound* denominator —
+# it answers "how far from the chip's absolute ceiling is this", while the
+# bandwidth bound below is the realistic speed-of-light for this workload.
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def decode_roofline(algorithmic_ops_per_frame: float,
+                    frames_per_second: float,
+                    state_bytes_per_frame: float | None = None) -> dict:
+    """Achieved rate vs chip ceilings.
+
+    ``algorithmic_ops_per_frame`` should come from the closed-form counts
+    above (reference ``complexity_analysis.py`` semantics) so the figure is
+    comparable across implementations; ``state_bytes_per_frame`` (optional)
+    is the decoder's per-frame HBM traffic estimate for the bandwidth
+    bound.
+    """
+    ops_per_s = algorithmic_ops_per_frame * frames_per_second
+    out = {
+        "algorithmic_ops_per_s": ops_per_s,
+        "mfu_vs_bf16_peak": ops_per_s / V5E_PEAK_FLOPS_BF16,
+    }
+    if state_bytes_per_frame is not None:
+        bytes_per_s = state_bytes_per_frame * frames_per_second
+        out["hbm_utilization_estimate"] = bytes_per_s / V5E_HBM_BYTES_PER_S
+    return out
+
+
 def analyze_complexity(polar_params: Optional[dict] = None,
                        ldpc_params: Optional[dict] = None) -> dict:
     """Combined analysis (reference ``complexity_analysis.py:19-83``)."""
