@@ -270,14 +270,16 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         asc[c, t - k + 1:t + 1] = True
         if c != C - 1:
             store[c, t - k] = True
-    is_last = np.zeros((C,), bool)
-    is_last[C - 1] = True
     sizes = [N >> l for l in range(t + 1)]  # alpha/beta width per level
 
+    # the LAST chunk runs as straight-line code outside the scan (static
+    # schedule, no conds) so the [L, N, B] root assembly never lives in the
+    # scan carry — otherwise every chunk step rewrites it, and the in-scan
+    # ascend's dead size-doubling chains could not be dead-code-eliminated
     xs = {
-        "upd": jnp.asarray(upd), "dirr": jnp.asarray(dirr),
-        "asc": jnp.asarray(asc), "store": jnp.asarray(store),
-        "last": jnp.asarray(is_last), "pid": jnp.asarray(pattern_ids),
+        "upd": jnp.asarray(upd[:C - 1]), "dirr": jnp.asarray(dirr[:C - 1]),
+        "asc": jnp.asarray(asc[:C - 1]), "store": jnp.asarray(store[:C - 1]),
+        "pid": jnp.asarray(pattern_ids[:C - 1]),
     }
 
     def decode(llr):
@@ -296,7 +298,6 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                        for l in range(1, t + 1)),
             pend_b=tuple(eye for _ in range(t)),
             pm=_init_pm(batch),
-            root=jnp.zeros((Lsz, N, batch), jnp.int8),
         )
 
         def chunk_step(carry, x):
@@ -344,6 +345,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 pend_b[i] = _compose(R, pend_b[i])
 
             # ---- ascend: combine completed right subtrees, park left ------
+            # (the scan never reaches the root: the final cur is unused, so
+            # the post-store doubling chain is dead code XLA eliminates)
             cur = beta_c
             for l in range(t, 0, -1):
                 i = l - 1
@@ -359,14 +362,33 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 pend_b[i] = jnp.where(x["store"][l], eye, pend_b[i])
                 cur = lax.cond(x["asc"][l], combine, no_combine, cur)
 
-            root = jnp.where(x["last"], cur, carry["root"])
             return dict(alpha=tuple(alpha), pend_a=tuple(pend_a),
                         beta=tuple(beta), pend_b=tuple(pend_b),
-                        pm=pm, root=root), None
+                        pm=pm), None
 
         carry, _ = lax.scan(chunk_step, carry, xs)
+
+        # ---- last chunk (c = C−1 = 0b11…1): straight-line, static flags ---
+        # descend: only level t changes (ctz(C−1) = 0), direction g
+        alpha = list(carry["alpha"])
+        pend_a = list(carry["pend_a"])
+        beta = list(carry["beta"])
+        pend_b = list(carry["pend_b"])
+        pm = carry["pm"]
+        M = sizes[t]
+        parent = (llr_nb[None] if t == 1
+                  else _apply_perm(pend_a[t - 2], alpha[t - 2]))
+        first, second = parent[:, :M, :], parent[:, M:, :]
+        left_bits = _apply_perm(pend_b[t - 1], beta[t - 1].astype(dtype))
+        alpha_t = second + (1.0 - 2.0 * left_bits) * first
+        beta_c, pm, R = bodies[pattern_ids[C - 1]](alpha_t, pm)
+        # ascend through every level to the root
+        cur = beta_c
+        for l in range(t, 0, -1):
+            left = _apply_perm_bits(_compose(R, pend_b[l - 1]), beta[l - 1])
+            cur = jnp.concatenate([left ^ cur, cur], axis=1)
         # root beta is the re-encoded codeword in bit-reversed storage;
         # un-permute, then u = β·G_N (the transform is an involution)
-        return _finish(carry["root"], carry["pm"])
+        return _finish(cur, pm)
 
     return decode
