@@ -257,28 +257,24 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     # asc[c, l]: combine the finished subtree's beta with the stored left
     #            beta at level l while ascending (trailing-ones rule)
     # store[c, l]: park the ascended beta as the new left beta at level l
-    upd = np.zeros((C, t + 1), bool)
-    dirr = np.zeros((C, t + 1), bool)
-    asc = np.zeros((C, t + 1), bool)
-    store = np.zeros((C, t + 1), bool)
-    for c in range(C):
-        lo = 1 if c == 0 else t - _ctz(c)
-        upd[c, lo:t + 1] = True
-        for l in range(1, t + 1):
-            dirr[c, l] = bool((c >> (t - l)) & 1)
-        k = _ctz(c + 1)
-        asc[c, t - k + 1:t + 1] = True
-        if c != C - 1:
-            store[c, t - k] = True
+    # The per-chunk control flow is fully determined by two trailing-zero
+    # counts, so it compiles as two lax.switch dispatches over straight-line
+    # variants (per-level lax.cond chains cost ~ms-scale pipeline barriers
+    # per chunk on TPU — measured as the dominant fixed overhead):
+    #   descend variant k = ctz(c) (k = t for c = 0): g at level t−k, then a
+    #   current-order f chain down to level t (no pending refreshes needed
+    #   below the g level — those alphas are written this chunk);
+    #   ascend variant j = ctz(c+1): j combines (levels t .. t−j+1), then
+    #   park the result as the left beta at level t−j.
+    desc_k = np.array([t if c == 0 else _ctz(c) for c in range(C)], np.int32)
+    asc_j = np.array([_ctz(c + 1) for c in range(C)], np.int32)
     sizes = [N >> l for l in range(t + 1)]  # alpha/beta width per level
 
     # the LAST chunk runs as straight-line code outside the scan (static
-    # schedule, no conds) so the [L, N, B] root assembly never lives in the
-    # scan carry — otherwise every chunk step rewrites it, and the in-scan
-    # ascend's dead size-doubling chains could not be dead-code-eliminated
+    # schedule) so the [L, N, B] root assembly never lives in the scan carry
     xs = {
-        "upd": jnp.asarray(upd[:C - 1]), "dirr": jnp.asarray(dirr[:C - 1]),
-        "asc": jnp.asarray(asc[:C - 1]), "store": jnp.asarray(store[:C - 1]),
+        "desc_k": jnp.asarray(desc_k[:C - 1]),
+        "asc_j": jnp.asarray(asc_j[:C - 1]),
         "pid": jnp.asarray(pattern_ids[:C - 1]),
     }
 
@@ -300,71 +296,80 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             pm=_init_pm(batch),
         )
 
+        def _desc_branch(k):
+            """Descend variant: g at level t−k (all-f from the root when
+            k = t, i.e. chunk 0), then a current-order f chain to level t."""
+
+            def branch(alpha, pend_a, beta, pend_b):
+                alpha = list(alpha)
+                pend_a = list(pend_a)
+                if k == t:  # chunk 0: f all the way from the channel LLRs
+                    parent = llr_nb[None]  # [1, N, B] — path-invariant
+                    lo = 1
+                else:
+                    lo = t - k
+                    M = sizes[lo]
+                    parent = (llr_nb[None] if lo == 1
+                              else _apply_perm(pend_a[lo - 2], alpha[lo - 2]))
+                    first, second = parent[:, :M, :], parent[:, M:, :]
+                    left = _apply_perm(pend_b[lo - 1],
+                                       beta[lo - 1].astype(dtype))
+                    parent = second + (1.0 - 2.0 * left) * first  # g
+                    alpha[lo - 1] = parent
+                    pend_a[lo - 1] = eye
+                    lo += 1
+                for l in range(lo, t + 1):
+                    M = sizes[l]
+                    parent = f_minsum(parent[:, :M, :], parent[:, M:, :])
+                    alpha[l - 1] = jnp.broadcast_to(parent, (Lsz, M, batch))
+                    pend_a[l - 1] = eye
+                return tuple(alpha), tuple(pend_a)
+
+            return branch
+
+        def _asc_branch(j):
+            """Ascend variant: j combines (levels t..t−j+1), park at t−j."""
+
+            def branch(beta, pend_b, cur):
+                beta = list(beta)
+                pend_b = list(pend_b)
+                for step_i in range(j):
+                    i = t - step_i - 1
+                    left = _apply_perm_bits(pend_b[i], beta[i])
+                    cur = jnp.concatenate([left ^ cur, cur], axis=1)
+                stop = t - j - 1
+                beta[stop] = cur
+                pend_b[stop] = eye
+                return tuple(beta), tuple(pend_b)
+
+            return branch
+
+        desc_branches = [_desc_branch(k) for k in range(t + 1)]
+        asc_branches = [_asc_branch(j) for j in range(t)]
+
         def chunk_step(carry, x):
-            alpha = list(carry["alpha"])
-            pend_a = list(carry["pend_a"])
-            beta = list(carry["beta"])
-            pend_b = list(carry["pend_b"])
-            pm = carry["pm"]
-
-            # ---- descend: refresh-on-read, cond-gated f/g level updates ---
-            for l in range(1, t + 1):
-                i = l - 1
-                M = sizes[l]
-
-                def do_update(alpha_l, _l=l, _i=i, _M=M):
-                    if _l == 1:  # parent = channel LLR: path-invariant
-                        parent = llr_nb[None]  # [1, N, B]
-                    else:
-                        parent = _apply_perm(pend_a[_i - 1], alpha[_i - 1])
-                    first, second = parent[:, :_M, :], parent[:, _M:, :]
-
-                    def g_update(_):
-                        left = _apply_perm(pend_b[_i], beta[_i].astype(dtype))
-                        return second + (1.0 - 2.0 * left) * first
-
-                    def f_update(_):
-                        return jnp.broadcast_to(f_minsum(first, second),
-                                                (Lsz, _M, batch))
-
-                    return lax.cond(x["dirr"][_l], g_update, f_update, None)
-
-                alpha[i] = lax.cond(x["upd"][l], do_update,
-                                    lambda a: a, alpha[i])
-                pend_a[i] = jnp.where(x["upd"][l], eye, pend_a[i])
+            alpha, pend_a = lax.switch(
+                x["desc_k"], desc_branches, carry["alpha"], carry["pend_a"],
+                carry["beta"], carry["pend_b"])
+            beta, pend_b = list(carry["beta"]), list(carry["pend_b"])
 
             # ---- chunk body: decode the size-S subtree (specialized) ------
             if len(bodies) == 1:
-                beta_c, pm, R = bodies[0](alpha[t - 1], pm)
+                beta_c, pm, R = bodies[0](alpha[t - 1], pm=carry["pm"])
             else:
-                beta_c, pm, R = lax.switch(x["pid"], bodies, alpha[t - 1], pm)
+                beta_c, pm, R = lax.switch(x["pid"], bodies, alpha[t - 1],
+                                           carry["pm"])
 
             # ---- compose the chunk's relative permutation into pendings ---
-            for i in range(t):
-                pend_a[i] = _compose(R, pend_a[i])
-                pend_b[i] = _compose(R, pend_b[i])
+            pend_a = [_compose(R, p) for p in pend_a]
+            pend_b = [_compose(R, p) for p in pend_b]
 
             # ---- ascend: combine completed right subtrees, park left ------
-            # (the scan never reaches the root: the final cur is unused, so
-            # the post-store doubling chain is dead code XLA eliminates)
-            cur = beta_c
-            for l in range(t, 0, -1):
-                i = l - 1
+            beta, pend_b = lax.switch(x["asc_j"], asc_branches,
+                                      tuple(beta), tuple(pend_b), beta_c)
 
-                def combine(cur, _i=i):
-                    left = _apply_perm_bits(pend_b[_i], beta[_i])
-                    return jnp.concatenate([left ^ cur, cur], axis=1)
-
-                def no_combine(cur):
-                    return jnp.concatenate([cur, cur], axis=1)  # dead value
-
-                beta[i] = jnp.where(x["store"][l], cur, beta[i])
-                pend_b[i] = jnp.where(x["store"][l], eye, pend_b[i])
-                cur = lax.cond(x["asc"][l], combine, no_combine, cur)
-
-            return dict(alpha=tuple(alpha), pend_a=tuple(pend_a),
-                        beta=tuple(beta), pend_b=tuple(pend_b),
-                        pm=pm), None
+            return dict(alpha=alpha, pend_a=tuple(pend_a),
+                        beta=beta, pend_b=pend_b, pm=pm), None
 
         carry, _ = lax.scan(chunk_step, carry, xs)
 

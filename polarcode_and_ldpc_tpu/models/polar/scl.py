@@ -154,7 +154,9 @@ class SCLDecoder:
     def __init__(self, N: int, K: int, list_size: int = 8,
                  frozen_bits: Optional[np.ndarray] = None,
                  use_crc: bool = False, crc_polynomial: str = "CRC-8",
-                 dtype=jnp.float32, impl: str = "unrolled"):
+                 dtype=jnp.float32, impl: Optional[str] = None):
+        if impl is None:  # auto: compile-light chunk-scan for large codes
+            impl = "scan-chunked" if N >= 512 else "unrolled"
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N, "K must be in (0, N)"
         assert list_size >= 1
