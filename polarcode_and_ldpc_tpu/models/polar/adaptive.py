@@ -70,7 +70,8 @@ class AdaptiveCASCLDecoder:
             return info, self._crc.check(info)
 
         self._sc_pass = jax.jit(sc_pass)
-        scl = make_scl_decoder(N, mask, list_size, dtype)
+        scl_impl = "scan-chunked" if N >= 512 else "unrolled"
+        scl = make_scl_decoder(N, mask, list_size, dtype, impl=scl_impl)
 
         def scl_pass(llr):
             u_paths, metrics = scl(llr)

@@ -28,9 +28,12 @@ This module restructures the same algorithm around both problems:
   compile cost scales with the number of pattern classes (polarization
   subchannel classes), not with N or batch;
 * **semi-parallel stage stack**: between chunks, alphas/left-betas for the
-  outer levels 1..t (t = log2 C) live in fixed-shape per-level arrays; the
-  varying descend/ascend work per chunk is driven by host-precomputed
-  static schedules through ``lax.cond``;
+  outer levels 1..t (t = log2 C) live in fixed-shape per-level arrays.
+  The per-chunk descend program is fully determined by ctz(c) and the
+  ascend by ctz(c+1), so each is ONE ``lax.switch`` over t straight-line
+  variants — three control ops per chunk total (TPU conditionals cost
+  ~ms-scale pipeline barriers; a per-level cond chain was the dominant
+  fixed overhead at small chunk sizes);
 * **lazy list permutations**: pruning at info leaves permutes the list
   axis of all live state.  Each outer level keeps a *pending* one-hot
   permutation, composed with the chunk's relative permutation after every
@@ -193,7 +196,7 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype):
 
 
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
-                          chunk: int = 64, dtype=jnp.float32):
+                          chunk: int = 128, dtype=jnp.float32):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →

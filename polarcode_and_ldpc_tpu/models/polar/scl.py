@@ -61,7 +61,7 @@ def select_best_path(info_paths, metrics, crc=None):
 
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
-                     chunk: int = 64):
+                     chunk: int = 128):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
