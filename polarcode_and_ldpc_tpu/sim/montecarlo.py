@@ -107,8 +107,13 @@ class MonteCarloSimulator:
             accounting; requires all shards host-addressable, i.e. single
             process) or ``"scalar"`` (multi-host form: the step is wrapped
             by ``pipelines.reduce_step`` so only replicated scalar counters
-            cross the host boundary; ``max_errors`` then stops at chunk
-            granularity and per-frame iteration statistics become sums).
+            cross the host boundary).  Scalar mode reproduces the exact
+            reference early-stop accounting too: when the counters cross
+            ``max_errors``, the crossing chunk is recomputed once through
+            an on-device frame-order prefix trim (still scalar outputs —
+            multi-host safe), so both modes report identical frames /
+            errors.  Per-frame iteration statistics remain sums in scalar
+            mode.
     """
 
     def __init__(
@@ -129,9 +134,36 @@ class MonteCarloSimulator:
         self.bits_per_frame = bits_per_frame
         assert reduction in ("per_frame", "scalar")
         self.reduction = reduction
+        self._trim = None
         if reduction == "scalar":
             from .pipelines import reduce_step
 
+            # exact-crossing trim: when the scalar counters cross
+            # max_errors, the crossing chunk is recomputed once with an
+            # on-device frame-order prefix scan so the accounting matches
+            # the reference (and per_frame mode) exactly — counters stay
+            # replicated scalars, so this works multi-host too
+            raw_step = step_fn
+
+            def trim(root_key, frame_ids, remaining, *extra):
+                out = raw_step(root_key, frame_ids, *extra)
+                fe = out["frame_error"].astype(jnp.int32)
+                cum = jnp.cumsum(fe)
+                # frames strictly before the crossing, plus the crossing
+                # frame itself (reference ber_simulation.py:191-192)
+                mask = (cum - fe) < remaining
+                red = {
+                    "take": jnp.sum(mask, dtype=jnp.int64),
+                    "bit_errors": jnp.sum(
+                        out["bit_errors"] * mask, dtype=jnp.int64),
+                    "frame_errors": jnp.sum(fe * mask, dtype=jnp.int64),
+                }
+                if "iterations" in out:
+                    red["iterations"] = jnp.sum(
+                        out["iterations"] * mask, dtype=jnp.int64)
+                return red
+
+            self._trim = jax.jit(trim)
             step_fn = reduce_step(step_fn)
         self._step = jax.jit(step_fn)
 
@@ -159,6 +191,33 @@ class MonteCarloSimulator:
         if "iterations" in stats:
             acc.total_iterations += stats["iterations"]
             acc.iteration_frames += self.chunk_frames
+
+    def _rollback_scalar(self, acc: "MonteCarloResult", stats: dict) -> None:
+        acc.frames -= self.chunk_frames
+        acc.bit_errors -= stats["bit_errors"]
+        acc.frame_errors -= stats["frame_errors"]
+        if "iterations" in stats:
+            acc.total_iterations -= stats["iterations"]
+            acc.iteration_frames -= self.chunk_frames
+
+    def _trim_crossing(self, acc: "MonteCarloResult", root_key, start: int,
+                       remaining: int, extra_args: tuple) -> int:
+        """Recompute the crossing chunk with in-order trim; returns the
+        number of frames accounted (reference semantics: up to and
+        including the frame that crossed ``max_errors``)."""
+        ids = jnp.arange(start, start + self.chunk_frames, dtype=jnp.uint32)
+        if self._id_sharding is not None:
+            ids = jax.device_put(ids, self._id_sharding)
+        out = {k: int(v) for k, v in
+               self._trim(root_key, ids, remaining, *extra_args).items()}
+        take = out["take"]
+        acc.frames += take
+        acc.bit_errors += out["bit_errors"]
+        acc.frame_errors += out["frame_errors"]
+        if "iterations" in out:
+            acc.total_iterations += out["iterations"]
+            acc.iteration_frames += take
+        return take
 
     def _run_chunk(self, root_key, start: int) -> ChunkStats:
         return self._fetch_chunk(self._dispatch_chunk(root_key, start))
@@ -210,6 +269,13 @@ class MonteCarloSimulator:
             if self.reduction == "scalar":
                 self._accumulate_scalar(acc, stats)
                 offset = pending_offset + self.chunk_frames
+                if max_errors is not None and acc.frame_errors >= max_errors:
+                    # exact reference accounting: roll the crossing chunk
+                    # back and recompute it with the on-device trim
+                    self._rollback_scalar(acc, stats)
+                    offset = pending_offset + self._trim_crossing(
+                        acc, root_key, pending_offset,
+                        max_errors - acc.frame_errors, extra_args)
             else:
                 take = min(self.chunk_frames, num_frames - acc.frames)
                 taken = self._accumulate(acc, stats, take, max_errors)

@@ -108,18 +108,35 @@ def test_resume_of_finished_early_stop_run_is_noop(tmp_path):
     assert again.frame_errors == first.frame_errors
 
 
-def test_scalar_reduction_early_stop_chunk_bound():
-    # multi-host accounting stops at chunk granularity: the overshoot versus
-    # exact per-frame accounting is bounded by one chunk (SURVEY §5 /
-    # VERDICT r1 weak #4)
+def test_scalar_reduction_early_stop_exact():
+    # multi-host accounting now matches per-frame accounting EXACTLY even
+    # when max_errors crosses mid-chunk: the crossing chunk is recomputed
+    # with an on-device frame-order trim (VERDICT r1 weak #4 / next-step #8)
     step, K = _polar_step(snr_db=-10.0)
     per = MonteCarloSimulator(step, K, chunk_frames=32).run(
         10_000, max_errors=20, seed=0)
     sca = MonteCarloSimulator(step, K, chunk_frames=32,
                               reduction="scalar").run(10_000, max_errors=20, seed=0)
-    assert sca.frame_errors >= 20
-    assert sca.frames % 32 == 0  # chunk granularity
-    assert per.frames <= sca.frames < per.frames + 32
+    assert per.frames % 32 != 0  # the crossing really was mid-chunk
+    assert sca.frames == per.frames
+    assert sca.bit_errors == per.bit_errors
+    assert sca.frame_errors == per.frame_errors
+
+
+def test_scalar_reduction_exact_with_iterations():
+    # the trim path must preserve the iteration-sum semantics too
+    enc = fec.LDPCEncoder(48, 24, dv=3, dc=6, seed=42)
+    step = make_ldpc_pipeline(enc.H, enc.G, -6.0, decoder="bp", max_iter=10,
+                              message_idx=enc.info_positions)
+    per = MonteCarloSimulator(step, enc.k, chunk_frames=32).run(
+        5_000, max_errors=15, seed=3)
+    sca = MonteCarloSimulator(step, enc.k, chunk_frames=32,
+                              reduction="scalar").run(5_000, max_errors=15,
+                                                      seed=3)
+    assert sca.frames == per.frames
+    assert sca.bit_errors == per.bit_errors
+    assert sca.total_iterations == per.total_iterations
+    assert sca.iteration_frames == per.iteration_frames
 
 
 def test_polar_scl_pipeline_runs():
