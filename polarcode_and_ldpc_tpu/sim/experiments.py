@@ -168,8 +168,18 @@ def test_multiple_rates(
         label = f"{rate:.2f}"
         if family == "polar":
             K = int(round(N * rate))
+            if (algorithm or "sc") in ("scl", "ca_scl", "ca-scl"):
+                # flagship list-decoding study: DE-GA with rate-matched
+                # design SNRs (high-rate codes polarize usefully only when
+                # designed near their operating point)
+                construction, design = "dega", (
+                    2.0 if rate <= 0.7 else 3.5 if rate <= 0.8 else 4.5)
+            else:
+                construction, design = "bhattacharyya", 2.0
             cfg = PolarCodeConfig(N=N, K=K, algorithm=algorithm or "sc",
-                                  list_size=list_size)
+                                  list_size=list_size,
+                                  construction=construction,
+                                  design_snr_db=design)
             res = simulate_polar(cfg, sim, mesh, verbose)
         elif family == "ldpc":
             k = int(round(N * rate))
