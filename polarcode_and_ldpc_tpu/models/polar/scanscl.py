@@ -119,13 +119,31 @@ def _sel_metrics(S, cand):
     return jnp.sum(jnp.where(S != 0, cand[None, :, :], 0), axis=1)
 
 
-def _info_leaf(a, pm, Lsz):
+def _info_leaf(a, pm, Lsz, leaf_impl: str = "onehot"):
     """Branch + stable top-L prune at one info leaf (``decoder.py:283-339``).
 
     ``a [L, B]`` leaf LLRs, ``pm [L, B]`` → (bit plane ``[L, 1, B]`` int8,
-    pm, R ``[L, L, B]``)."""
+    pm, R ``[L, L, B]``).
+
+    ``leaf_impl="onehot"`` ranks candidates by an all-pairs comparison;
+    ``"sort"`` uses a stable two-operand ``lax.sort`` along the candidate
+    (sublane) axis — fewer element-ops, same reference ordering (stable
+    sort keeps candidate-index order on ties; finite sums never produce
+    −0.0, so the sort's total order agrees with the comparator)."""
     d0, d1 = _d0_d1(a)
     cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2L, B]
+    if leaf_impl == "sort":
+        idx = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+        sorted_neg, sorted_idx = lax.sort(
+            (-cand, idx), dimension=0, is_stable=True, num_keys=1)
+        top_idx = sorted_idx[:Lsz]           # [L, B] — candidate per slot
+        pm2 = -sorted_neg[:Lsz]
+        bits = (top_idx >= Lsz).astype(jnp.int8)
+        src = top_idx % Lsz
+        R = (src[:, None, :]
+             == jnp.arange(Lsz, dtype=jnp.int32)[None, :, None]).astype(
+                 cand.dtype)
+        return bits[:, None, :], pm2, R
     S2 = _stable_topk_onehot(cand, Lsz)
     pm2 = _sel_metrics(S2, cand)
     bits = jnp.sum(S2[:, Lsz:, :], axis=1).astype(jnp.int8)
@@ -137,7 +155,8 @@ def _ctz(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
-def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype):
+def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
+                     leaf_impl: str = "onehot"):
     """Specialized size-S subtree decoder for one *static* frozen pattern.
 
     ``body(alpha [L,S,B], pm [L,B]) → (beta [L,S,B] int8, pm, R [L,L,B])``;
@@ -164,7 +183,7 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype):
         if sub.all():  # rate-0: metrics only, no prune
             return jnp.zeros(alpha.shape, jnp.int8), pm + rate0_metric(alpha), None
         if size == 1:
-            return _info_leaf(alpha[:, 0, :], pm, Lsz)
+            return _info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
@@ -196,7 +215,8 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype):
 
 
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
-                          chunk: int = 128, dtype=jnp.float32):
+                          chunk: int = 128, dtype=jnp.float32,
+                          leaf_impl: str = "onehot"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -226,7 +246,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             unique[key] = len(unique_flags)
             unique_flags.append(chunk_flags_np[c])
         pattern_ids[c] = unique[key]
-    bodies = [_make_chunk_body(f, Lsz, dtype) for f in unique_flags]
+    bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl)
+              for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
 
     def _finish(root_bits_lnb, pm_lb):
