@@ -125,7 +125,7 @@ def bench_polar_scl8(batch: int = 8192) -> dict:
             "ber_3db": ber, "roofline": roof}
 
 
-def bench_ldpc_bp(batch: int = 1024) -> dict:
+def bench_ldpc_bp(batch: int = 4096) -> dict:
     import jax
     import jax.numpy as jnp
 
