@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="polar decoder for the study (ca_scl = flagship)")
     p.add_argument("--list-size", type=int, default=8)
     p.add_argument("--skip-plots", action="store_true")
+    p.add_argument("--skip-polar", action="store_true",
+                   help="reuse an existing polar_results.json in output-dir")
+    p.add_argument("--skip-ldpc", action="store_true",
+                   help="reuse an existing ldpc_results.json in output-dir")
     return p
 
 
@@ -52,16 +56,24 @@ def main(argv=None) -> dict:
     mesh = get_mesh(args)
     outdir = Path(args.output_dir)
 
-    print(f"Polar N={args.polar_n}, rates {rates}:")
-    polar = test_multiple_rates("polar", rates, N=args.polar_n, sim=sim,
-                                mesh=mesh, verbose=True,
-                                algorithm=args.polar_algorithm,
-                                list_size=args.list_size)
-    save_results(polar, outdir / "polar_results.json")
-    print(f"LDPC n={args.ldpc_n}, rates {rates}:")
-    ldpc = test_multiple_rates("ldpc", rates, N=args.ldpc_n, sim=sim,
-                               mesh=mesh, verbose=True)
-    save_results(ldpc, outdir / "ldpc_results.json")
+    import json
+
+    if args.skip_polar:
+        polar = json.loads((outdir / "polar_results.json").read_text())
+    else:
+        print(f"Polar N={args.polar_n}, rates {rates}:")
+        polar = test_multiple_rates("polar", rates, N=args.polar_n, sim=sim,
+                                    mesh=mesh, verbose=True,
+                                    algorithm=args.polar_algorithm,
+                                    list_size=args.list_size)
+        save_results(polar, outdir / "polar_results.json")
+    if args.skip_ldpc:
+        ldpc = json.loads((outdir / "ldpc_results.json").read_text())
+    else:
+        print(f"LDPC n={args.ldpc_n}, rates {rates}:")
+        ldpc = test_multiple_rates("ldpc", rates, N=args.ldpc_n, sim=sim,
+                                   mesh=mesh, verbose=True)
+        save_results(ldpc, outdir / "ldpc_results.json")
 
     # SNR requirement + Polar−LDPC gap analysis (test_snr_curves.py:355-408)
     analysis: dict = {}

@@ -148,6 +148,14 @@ def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
                 print(f"Warning: adjusted dc to {dc} to satisfy constraints")
         if method == "mackay":
             return mackay_construction(n, k, dv, dc, seed)
+        if dv * n % m != 0:
+            # exact (dv, dc)-regularity is impossible for these parameters;
+            # fall back to the tolerant MacKay construction (the reference's
+            # behavior: adjust and proceed, matrix.py:74-78) instead of
+            # failing the whole sweep
+            print("Warning: exact regular construction impossible "
+                  f"(dv·n={dv * n} % m={m} != 0); using mackay")
+            return mackay_construction(n, k, dv, dc, seed)
         return regular_construction(n, k, dv, dc, seed)
     if method == "peg":
         return peg_construction(n, k, dv)

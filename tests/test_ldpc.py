@@ -31,6 +31,15 @@ def test_generate_ldpc_matrix_methods():
         assert H.sum() > 0
 
 
+def test_generate_regular_falls_back_when_impossible():
+    # n=1008, k=675 → m=333 does not divide dv·n: exact regularity is
+    # impossible; the dispatcher must fall back to mackay instead of
+    # raising (the reference adjusts and proceeds, matrix.py:74-78)
+    H = fec.generate_ldpc_matrix(1008, 675, method="regular", dv=3, dc=6)
+    assert H.shape == (333, 1008)
+    np.testing.assert_array_equal(H.sum(axis=0), 3)  # column degree kept
+
+
 def test_peg_construction_vectorized_and_fast():
     # selection order must equal the reference's per-edge argmin
     # (matrix.py:94-132: least-loaded check, ties to lowest index)
