@@ -79,9 +79,9 @@ def _polar_encode_host(msgs, N, info_bits):
 def bench_polar_scl8(batch: int = 8192) -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
-    # batches are affordable.  v5e measurements (2026-08-17): batch 4096 →
-    # 57.9 Mbps (compile ~4 min), 8192 → 66.6 Mbps (compile ~2.7 min); the
-    # old unrolled decoder peaked at 23.8 Mbps @ batch 512 (compile ~100 s).
+    # batches are affordable.  v5e (2026-08-17): 116.4 Mbps at batch 8192 /
+    # chunk 128, compile ~2.7 min; the round-1 unrolled decoder peaked at
+    # 23.8 Mbps @ batch 512 (compile ~100 s).
     import jax
 
     import jax.numpy as jnp
