@@ -40,6 +40,22 @@ def test_mesh_sharding_invariance():
     assert res_sharded.frame_errors == res_plain.frame_errors
 
 
+def test_mesh_sharding_invariance_scan_scl():
+    # the chunk-scan SCL (batch-last [L, M, B] layout) must produce
+    # identical counts when the frame batch is sharded over the mesh —
+    # GSPMD partitions the trailing batch axis through the whole scan
+    assert len(jax.devices()) == 8
+    N, K = 512, 256
+    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    step = make_polar_pipeline(N, K, frozen, 2.0, decoder="scl", list_size=4)
+    mesh = default_mesh()
+    sharded = MonteCarloSimulator(step, K, chunk_frames=32, mesh=mesh).run(
+        64, seed=3)
+    plain = MonteCarloSimulator(step, K, chunk_frames=32).run(64, seed=3)
+    assert sharded.bit_errors == plain.bit_errors
+    assert sharded.frame_errors == plain.frame_errors
+
+
 def test_early_stop_accounting():
     # at very low SNR almost every frame errors: max_errors must bound frames
     step, K = _polar_step(snr_db=-10.0)
