@@ -34,11 +34,14 @@ from polarcode_and_ldpc_tpu.parallel import default_mesh
 from polarcode_and_ldpc_tpu.sim import MonteCarloSimulator, make_polar_pipeline
 
 assert len(jax.devices()) == 4 * nproc, jax.devices()
-frozen, _ = fec.construct_polar_code(64, 32, "bhattacharyya", 2.0)
-step = make_polar_pipeline(64, 32, frozen, 1.0, decoder="sc")
-sim = MonteCarloSimulator(step, 32, chunk_frames=256,
+# flagship decoder path (N>=512 auto-selects the chunk-scan SCL) with a
+# mid-chunk max_errors crossing: exercises the exact on-device trim in
+# scalar (multi-host) reduction under real multi-process collectives
+frozen, _ = fec.construct_polar_code(512, 256, "bhattacharyya", 2.0)
+step = make_polar_pipeline(512, 256, frozen, -3.0, decoder="scl", list_size=2)
+sim = MonteCarloSimulator(step, 256, chunk_frames=256,
                           mesh=default_mesh(), reduction="scalar")
-res = sim.run(1024, seed=17)
+res = sim.run(2048, max_errors=25, seed=17)
 if pid == 0:
     print(json.dumps({"frames": res.frames, "bit_errors": res.bit_errors,
                       "frame_errors": res.frame_errors}), flush=True)
@@ -75,9 +78,11 @@ def main() -> int:
     import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.sim import MonteCarloSimulator, make_polar_pipeline
 
-    frozen, _ = fec.construct_polar_code(64, 32, "bhattacharyya", 2.0)
-    step = make_polar_pipeline(64, 32, frozen, 1.0, decoder="sc")
-    res = MonteCarloSimulator(step, 32, chunk_frames=256).run(1024, seed=17)
+    frozen, _ = fec.construct_polar_code(512, 256, "bhattacharyya", 2.0)
+    step = make_polar_pipeline(512, 256, frozen, -3.0, decoder="scl",
+                               list_size=2)
+    res = MonteCarloSimulator(step, 256, chunk_frames=256).run(
+        2048, max_errors=25, seed=17)
     single = {"frames": res.frames, "bit_errors": res.bit_errors,
               "frame_errors": res.frame_errors}
     print(f"single-process result:        {single}")
