@@ -117,14 +117,15 @@ def test_scan_chunked_scl_equals_unrolled(rng):
     np.testing.assert_array_equal(np.asarray(u_u), np.asarray(u_c))
 
 
-def test_scan_chunked_scl_flagship_size(rng):
+@pytest.mark.parametrize("chunk", [64, 128])  # 128 = the bench/default config
+def test_scan_chunked_scl_flagship_size(chunk, rng):
     # N=1024 SCL: chunk-scan must equal the unrolled fast path bit-for-bit
     N, L = 1024, 8
     mask = _mask(N, 512)
     unrolled = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
                                         impl="unrolled"))
     chunked = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
-                                       impl="scan-chunked", chunk=64))
+                                       impl="scan-chunked", chunk=chunk))
     llr = rng.standard_normal((4, N)) * 1.5
     u_u, pm_u = unrolled(llr)
     u_c, pm_c = chunked(llr)
