@@ -1,0 +1,132 @@
+"""Production-serving demonstrations → results/tpu/serving.json.
+
+1. Adaptive CA-SCL (SC-first, list fallback only for CRC-failing frames):
+   the standard serving decoder — at working SNRs the SC pass satisfies
+   the CRC for nearly every frame, so throughput approaches the SC rate
+   while retaining CA-SCL error performance.
+2. A 10-million-frame CA-SCL Monte-Carlo point at the waterfall edge: at
+   ~64 Mbps end-to-end, 10M frames take ~80 s on one chip — resolving
+   error floors the reference's 100-frame budgets were 5 orders of
+   magnitude away from.
+
+Usage: python tools/serving_runs.py [--cpu] [--frames 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = Path(__file__).resolve().parent.parent / "results" / "tpu"
+
+
+def _log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=10_000_000)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--snr-db", type=float, default=2.0)
+    ap.add_argument("--mc-snr-db", type=float, default=0.0,
+                    help="SNR of the 10M-frame point (floor region)")
+    args = ap.parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.parity.channel_np import awgn_llr_np
+    from polarcode_and_ldpc_tpu.sim import MonteCarloSimulator, make_polar_pipeline
+    from polarcode_and_ldpc_tpu.sim.throughput import _force
+
+    N, K, L, B = 1024, 512, 8, args.batch
+    frozen, info = fec.construct_polar_code(N, K, "dega", 2.0)
+    out = {"device": str(jax.devices()[0])}
+
+    # --- adaptive CA-SCL decode-only rate at the working SNR -------------
+    dec = fec.AdaptiveCASCLDecoder(N, K, list_size=L, frozen_bits=frozen)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2, (B, dec.K_data if hasattr(dec, "K_data")
+                               else K - 8)).astype(np.int8)
+    msgs = np.asarray(dec._crc.encode(jnp.asarray(data)))
+    u = np.zeros((B, N), np.int64)
+    u[:, info] = msgs
+    s = 1
+    while s < N:
+        u = u.reshape(B, N // (2 * s), 2, s)
+        u[:, :, 0, :] ^= u[:, :, 1, :]
+        u = u.reshape(B, N)
+        s *= 2
+    llr = jnp.asarray(awgn_llr_np(u, args.snr_db,
+                                  rng.standard_normal((B, N))).astype(np.float32))
+    _log("adaptive: compiling SC pass ...")
+    t0 = time.perf_counter()
+    _force(dec._sc_pass(llr))
+    t_compile = time.perf_counter() - t0
+    best = float("inf")
+    passes = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(5):
+            o = dec._sc_pass(llr)
+        _force(o)
+        best = min(best, (time.perf_counter() - t0) / 5)
+        passes = o
+    info_bits_dev, ok = passes
+    pass_rate = float(np.asarray(ok).mean())
+    ber = float((np.asarray(info_bits_dev) != msgs).mean())
+    out["adaptive_cascl_sc_pass"] = {
+        "config": {"N": N, "K": K, "list_size": L, "crc": "CRC-8",
+                   "snr_db": args.snr_db, "batch": B},
+        "compile_seconds": t_compile,
+        "seconds_per_batch": best,
+        "decoded_info_mbps": B * (K - 8) / best / 1e6,
+        "sc_crc_pass_rate": pass_rate,
+        "sc_ber": ber,
+        "note": ("device rate of the SC+CRC pass; frames failing CRC "
+                 f"(rate {1 - pass_rate:.2e}) re-decode through CA-SCL-{L} "
+                 "in fixed-size padded fallback batches"),
+    }
+    _log(f"adaptive: {out['adaptive_cascl_sc_pass']['decoded_info_mbps']:.0f} "
+         f"Mbps SC-pass, CRC pass rate {pass_rate:.6f}")
+
+    # --- 10M-frame Monte-Carlo point -------------------------------------
+    step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
+                               list_size=L)
+    sim = MonteCarloSimulator(step, K - 8, chunk_frames=8192)
+    _log(f"10M-frame CA-SCL @{args.mc_snr_db} dB (compiling) ...")
+    t0 = time.perf_counter()
+    sim.run(2 * 8192, seed=0, extra_args=(jnp.float32(args.mc_snr_db),))
+    _log(f"compile+warmup {time.perf_counter() - t0:.1f}s; running ...")
+    t0 = time.perf_counter()
+    res = sim.run(args.frames, seed=0,
+                  extra_args=(jnp.float32(args.mc_snr_db),))
+    wall = time.perf_counter() - t0
+    d = res.to_dict()
+    d["wall_seconds_post_warmup"] = wall
+    d["snr_db"] = args.mc_snr_db
+    out["polar_cascl8_n1024_10M"] = d
+    _log(f"10M frames in {wall:.1f}s → {d['throughput_mbps']:.1f} Mbps, "
+         f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / "serving.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
