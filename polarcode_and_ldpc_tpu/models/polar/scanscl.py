@@ -102,15 +102,23 @@ def _stable_topk_onehot(cand, Lsz):
     """Stable-descending top-L selection one-hot ``S [L, 2L, B]`` over
     candidates ``cand [2L, B]`` — the reference's ordering (sort by metric
     desc, ties by candidate index; Python stable sort,
-    ``decoder.py:306-307``)."""
+    ``decoder.py:306-307``).
+
+    Index tensors come from ``lax.broadcasted_iota`` (not broadcast
+    ``arange``/``tril`` constants) so the identical code traces both under
+    XLA and inside the Pallas chunk-body kernel (Mosaic rejects
+    leading-dim iota/const broadcasts)."""
     two_l = cand.shape[0]
     gt = cand[None, :, :] > cand[:, None, :]            # [i, j, B]: cand_j > cand_i
     eq = cand[None, :, :] == cand[:, None, :]
-    jlti = jnp.tril(jnp.ones((two_l, two_l), bool), k=-1)[..., None]  # j < i
+    shape3 = (two_l, two_l, cand.shape[1])
+    jlti = (lax.broadcasted_iota(jnp.int32, shape3, 1)
+            < lax.broadcasted_iota(jnp.int32, shape3, 0))  # j < i
     before = gt | (eq & jlti)
     rank = jnp.sum(before, axis=1, dtype=jnp.int32)      # [2L, B]
-    slots = jnp.arange(Lsz, dtype=jnp.int32)
-    return (rank[None, :, :] == slots[:, None, None]).astype(cand.dtype)
+    sshape = (Lsz, two_l, cand.shape[1])
+    slots = lax.broadcasted_iota(jnp.int32, sshape, 0)
+    return (jnp.broadcast_to(rank[None, :, :], sshape) == slots).astype(cand.dtype)
 
 
 def _sel_metrics(S, cand):
@@ -216,7 +224,8 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
 
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           chunk: int = 128, dtype=jnp.float32,
-                          leaf_impl: str = "onehot"):
+                          leaf_impl: str = "onehot",
+                          body_impl: str = "xla"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -246,8 +255,18 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             unique[key] = len(unique_flags)
             unique_flags.append(chunk_flags_np[c])
         pattern_ids[c] = unique[key]
-    bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl)
-              for f in unique_flags]
+    if body_impl == "pallas":
+        # fused VMEM-resident subtree bodies (ops/scl_body_pallas.py);
+        # bit-identical to the XLA bodies (the kernel traces the same jnp
+        # program against refs) — tests enforce
+        from ...ops.scl_body_pallas import make_chunk_body_pallas
+
+        bodies = [make_chunk_body_pallas(f, Lsz, dtype, leaf_impl=leaf_impl)
+                  for f in unique_flags]
+    else:
+        assert body_impl == "xla", body_impl
+        bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl)
+                  for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
 
     def _finish(root_bits_lnb, pm_lb):

@@ -61,7 +61,7 @@ def select_best_path(info_paths, metrics, crc=None):
 
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
-                     chunk: int = 128):
+                     chunk: int = 128, body_impl: str = "xla"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -82,7 +82,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
     if impl == "scan-chunked":
         from .scanscl import make_scl_decoder_scan
 
-        return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype)
+        return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype,
+                                     body_impl=body_impl)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size

@@ -1,0 +1,54 @@
+"""Pallas-fused SCL chunk bodies (``ops/scl_body_pallas.py``) must be
+bit-identical to the XLA bodies — the kernel traces the same jnp program
+against VMEM refs, so any divergence is a harness bug.  Runs in interpret
+mode on CPU; hardware equality is probed on TPU (tools/scl_perf_probe.py
+--body pallas)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import polarcode_and_ldpc_tpu as fec
+from polarcode_and_ldpc_tpu.models.polar.construction import (
+    bit_reverse_permutation,
+    frozen_mask_from_positions,
+)
+from polarcode_and_ldpc_tpu.models.polar.scanscl import _make_chunk_body
+from polarcode_and_ldpc_tpu.ops.scl_body_pallas import make_chunk_body_pallas
+
+
+@pytest.mark.parametrize("ci", [0, 3, 7])
+def test_pallas_body_bit_identical(ci, rng):
+    N, K, L, S = 1024, 512, 8, 128
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    flags = fm[bit_reverse_permutation(N)].reshape(N // S, S)[ci]
+    alpha = jnp.asarray(rng.standard_normal((L, S, 256)).astype(np.float32) * 2)
+    pm = jnp.asarray(rng.standard_normal((L, 256)).astype(np.float32))
+    pm = pm.at[2:].set(-np.inf)  # phantom paths present
+    b1, p1, r1 = jax.jit(_make_chunk_body(flags, L, jnp.float32))(alpha, pm)
+    b2, p2, r2 = jax.jit(make_chunk_body_pallas(
+        flags, L, jnp.float32, interpret=True))(alpha, pm)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_pallas_body_ties(rng):
+    # adversarial zero-LLR ties: the stable tie-breaking must survive the
+    # kernel path too
+    N, K, L, S = 256, 128, 4, 64
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    flags = fm[bit_reverse_permutation(N)].reshape(N // S, S)[2]
+    alpha = np.zeros((L, S, 128), np.float32)
+    alpha[:, 1:, :] = rng.standard_normal((L, S - 1, 128)).astype(np.float32)
+    alpha = jnp.asarray(alpha)
+    pm = jnp.zeros((L, 128), jnp.float32).at[1:].set(-np.inf)
+    b1, p1, r1 = jax.jit(_make_chunk_body(flags, L, jnp.float32))(alpha, pm)
+    b2, p2, r2 = jax.jit(make_chunk_body_pallas(
+        flags, L, jnp.float32, interpret=True))(alpha, pm)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

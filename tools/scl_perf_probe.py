@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--K", type=int, default=512)
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--body", default="xla")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -63,8 +64,9 @@ def main() -> None:
 
     llr_dev = jnp.asarray(llr)
     print(f"device={jax.devices()[0]} impl={args.impl} N={N} K={K} L={L} "
-          f"B={B} chunk={args.chunk}", file=sys.stderr, flush=True)
-    dec = jax.jit(make_scl_decoder(N, fm, L, impl=args.impl, chunk=args.chunk))
+          f"B={B} chunk={args.chunk} body={args.body}", file=sys.stderr, flush=True)
+    dec = jax.jit(make_scl_decoder(N, fm, L, impl=args.impl,
+                                   chunk=args.chunk, body_impl=args.body))
     t0 = time.perf_counter()
     out = dec(llr_dev)
     _force(out)
