@@ -159,12 +159,28 @@ def _info_leaf(a, pm, Lsz, leaf_impl: str = "onehot"):
     return bits[:, None, :], pm2, R
 
 
+def _identity_r(Lsz, batch, dtype):
+    """Identity list permutation ``[L, L, B]``."""
+    return jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
+                            (Lsz, Lsz, batch))
+
+
+#: default (XLA) one-hot list algebra — broadcast forms, fused by XLA
+_BROADCAST_ALGEBRA = {
+    "apply_perm": _apply_perm,
+    "apply_perm_bits": _apply_perm_bits,
+    "compose": _compose,
+    "info_leaf": _info_leaf,
+    "identity_r": _identity_r,
+}
+
+
 def _ctz(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
 def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
-                     leaf_impl: str = "onehot"):
+                     leaf_impl: str = "onehot", algebra=None):
     """Specialized size-S subtree decoder for one *static* frozen pattern.
 
     ``body(alpha [L,S,B], pm [L,B]) → (beta [L,S,B] int8, pm, R [L,L,B])``;
@@ -174,9 +190,23 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     pure metric recursion and permutation re-indexing is skipped wherever
     no prune can occur (``R = None``) — ``fastscl.node`` on contiguous
     halves, batch-last.
+
+    ``algebra`` optionally overrides the one-hot list-algebra primitives
+    (``apply_perm``, ``apply_perm_bits``, ``compose``, ``info_leaf``,
+    ``identity_r``) — used by ``ops/scl_body_pallas.py`` to substitute
+    Mosaic-friendly static-loop forms (the broadcast forms here trip a
+    Mosaic replicated-relayout bug on 3D vectors); results are bit-exact
+    either way because one-hot sums have a single nonzero term.
     """
     flags = np.asarray(flags, bool)
     S = len(flags)
+    if algebra is None:
+        algebra = _BROADCAST_ALGEBRA
+    apply_perm = algebra["apply_perm"]
+    apply_perm_bits = algebra["apply_perm_bits"]
+    compose = algebra["compose"]
+    info_leaf = algebra["info_leaf"]
+    identity_r = algebra["identity_r"]
 
     def rate0_metric(alpha):
         """Σ log P(0 | leaf llr) over an all-frozen subtree → [L, B]."""
@@ -191,32 +221,30 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
         if sub.all():  # rate-0: metrics only, no prune
             return jnp.zeros(alpha.shape, jnp.int8), pm + rate0_metric(alpha), None
         if size == 1:
-            return _info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
+            return info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
         if R_l is not None:
-            alpha = _apply_perm(R_l, alpha)
+            alpha = apply_perm(R_l, alpha)
             first, second = alpha[:, :half, :], alpha[:, half:, :]
         sgn = 1.0 - 2.0 * beta_l.astype(alpha.dtype)
         beta_r, pm, R_r = node(second + sgn * first, pm, off + half, half)
         if R_r is not None:
-            beta_l = _apply_perm_bits(R_r, beta_l)
+            beta_l = apply_perm_bits(R_r, beta_l)
         beta = jnp.concatenate([beta_l ^ beta_r, beta_r], axis=1)
         if R_l is None:
             R = R_r
         elif R_r is None:
             R = R_l
         else:
-            R = _compose(R_r, R_l)
+            R = compose(R_r, R_l)
         return beta, pm, R
 
     def body(alpha, pm):
         beta, pm, R = node(alpha, pm, 0, S)
         if R is None:
-            B = alpha.shape[-1]
-            R = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
-                                 (Lsz, Lsz, B))
+            R = identity_r(Lsz, alpha.shape[-1], dtype)
         return beta, pm, R
 
     return body

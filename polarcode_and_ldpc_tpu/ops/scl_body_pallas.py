@@ -18,19 +18,15 @@ the subtree width S on sublanes (f32 needs S·multiples of 8, int8 outputs
 need S multiple of 32 — S ∈ {32, 64, 128, 256} all qualify); the grid
 walks batch tiles.
 
-STATUS (2026-08-17): bit-exact vs the XLA bodies in interpret mode
-(``tests/test_scl_body_pallas.py``), but this session's remote-TPU
-compile helper (chipless TpuAotCompiler over the axon tunnel) crashes
-with an opaque ``tpu_compile_helper subprocess exit code 1`` on kernels
-that feed an info-leaf's one-hot selection into downstream
-multiply-reduce arithmetic — isolated by bisection to that composite
-pattern (every constituent op compiles alone: the all-pairs rank needed
-``lax.broadcasted_iota`` instead of broadcast ``arange``/``tril``
-constants, now fixed; the residual crash reproduces with leaf → apply →
-g at size 2 and yields no diagnostics).  On a locally attached TPU with
-a normal Mosaic pipeline this path may simply work; until then the XLA
-bodies (116.4 Mbps SCL-8 N=1024) remain the default and
-``body_impl="pallas"`` is opt-in.
+STATUS (2026-08-17, round 2): compiles and runs on the real v5e after
+replacing the broadcast one-hot algebra with static-loop 2D forms
+(``_LOOP_ALGEBRA`` below) — the broadcast forms trip a Mosaic relayout
+rejection (``Invalid relayout: non-singleton logical dimension is
+replicated in destination but not in source``) on 3D vectors.  Hardware
+outputs are bit-identical to the XLA bodies (tools/pallas_tpu_probe.py:
+stage-2 full-decoder match True).  Flagship-config compile is ~3x the
+XLA bodies' (447 s vs 159 s, N=1024 L=8 chunk=128 batch 8192); see
+tools/scl_pallas_ab.py for the throughput A/B that decides the default.
 """
 
 from __future__ import annotations
@@ -41,6 +37,85 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_perm_loop(P, x):
+    """Static-loop one-hot apply: ``P [L, J, B]`` × ``x [J, M, B]`` →
+    ``[L, M, B]``.  Same math as ``scanscl._apply_perm`` (bit-exact: one-hot
+    sums have a single nonzero term, the rest are exact zeros), but built
+    from 2D ``[M, B]`` multiply-adds — no replicated 3D broadcasts, which
+    Mosaic's relayout pass rejects (``Invalid relayout: non-singleton
+    logical dimension is replicated in destination but not in source``)."""
+    L, J = P.shape[0], P.shape[1]
+    rows = []
+    for l in range(L):
+        acc = P[l, 0][None, :] * x[0]
+        for j in range(1, J):
+            acc = acc + P[l, j][None, :] * x[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _apply_perm_bits_loop(P, bits):
+    return _apply_perm_loop(P, bits.astype(P.dtype)).astype(jnp.int8)
+
+
+def _compose_loop(A, B):
+    """``C[l,k,b] = Σ_j A[l,j,b]·B[j,k,b]`` via static loops (see
+    ``_apply_perm_loop`` for why)."""
+    L, J = A.shape[0], A.shape[1]
+    rows = []
+    for l in range(L):
+        acc = A[l, 0][None, :] * B[0]
+        for j in range(1, J):
+            acc = acc + A[l, j][None, :] * B[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _info_leaf_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
+    """Mosaic-friendly ``scanscl._info_leaf``: the all-pairs stable rank and
+    the slot selections run as static loops over the (tiny) candidate axis
+    with 2D ``[2L, B]`` tensors.  Ordering semantics identical to the
+    reference (metric desc, ties by candidate index —
+    ``/root/reference/src/polar/decoder.py:299-307``)."""
+    del leaf_impl  # only the one-hot ranking exists in-kernel
+    from ..models.polar.scanscl import _d0_d1
+
+    d0, d1 = _d0_d1(a)
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2L, B]
+    two_l = 2 * Lsz
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    rank = jnp.zeros(cand.shape, jnp.int32)
+    for j in range(two_l):
+        cj = cand[j][None, :]                               # [1, B]
+        before = (cj > cand) | ((cj == cand) & (j < i_iota))
+        rank = rank + before.astype(jnp.int32)
+    pm_rows, bit_rows, r_rows = [], [], []
+    for l in range(Lsz):
+        sel = rank == l                                     # [2L, B]
+        pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
+        bit_rows.append(jnp.sum(sel[Lsz:].astype(jnp.int8), axis=0))
+        r_rows.append((sel[:Lsz] | sel[Lsz:]).astype(cand.dtype))
+    pm2 = jnp.stack(pm_rows, axis=0)                        # [L, B]
+    bits = jnp.stack(bit_rows, axis=0).astype(jnp.int8)     # [L, B]
+    R = jnp.stack(r_rows, axis=0)                           # [L, L, B]
+    return bits[:, None, :], pm2, R
+
+
+def _identity_r_loop(Lsz, batch, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Lsz, batch), 0)
+    return jnp.stack([(iota == l).astype(dtype) for l in range(Lsz)], axis=0)
+
+
+#: Mosaic-friendly one-hot list algebra (static loops, 2D tensors)
+_LOOP_ALGEBRA = {
+    "apply_perm": _apply_perm_loop,
+    "apply_perm_bits": _apply_perm_bits_loop,
+    "compose": _compose_loop,
+    "info_leaf": _info_leaf_loop,
+    "identity_r": _identity_r_loop,
+}
 
 
 def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
@@ -56,7 +131,8 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
     flags = np.asarray(flags, bool)
     S = len(flags)
     assert S % 32 == 0, "int8 beta output needs S multiple of 32"
-    inner = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
+    inner = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                             algebra=_LOOP_ALGEBRA)
 
     def kernel(alpha_ref, pm_ref, beta_ref, pm_out_ref, r_ref):
         beta, pm, R = inner(alpha_ref[:], pm_ref[:])
