@@ -337,7 +337,15 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     #   below the g level — those alphas are written this chunk);
     #   ascend variant j = ctz(c+1): j combines (levels t .. t−j+1), then
     #   park the result as the left beta at level t−j.
-    desc_k = np.array([t if c == 0 else _ctz(c) for c in range(C)], np.int32)
+    #   invariant-parent variants (selector t+1+k, k ≤ t−2): chunk c = 2^k
+    #   performs the FIRST g-read of level t−k−1, whose stored alpha is
+    #   still chunk-0's path-invariant broadcast — skip its pending
+    #   refresh (exact no-op) and run the g from one slot.
+    desc_k = np.array(
+        [t if c == 0
+         else (t + 1 + _ctz(c) if c == (1 << _ctz(c)) and _ctz(c) <= t - 2
+               else _ctz(c))
+         for c in range(C)], np.int32)
     asc_j = np.array([_ctz(c + 1) for c in range(C)], np.int32)
     sizes = [N >> l for l in range(t + 1)]  # alpha/beta width per level
 
@@ -367,9 +375,16 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             pm=_init_pm(batch),
         )
 
-        def _desc_branch(k):
+        def _desc_branch(k, invariant_parent=False):
             """Descend variant: g at level t−k (all-f from the root when
-            k = t, i.e. chunk 0), then a current-order f chain to level t."""
+            k = t, i.e. chunk 0), then a current-order f chain to level t.
+
+            ``invariant_parent`` marks the FIRST g-read of a level (chunk
+            c = 2^k): the parent alpha was written by chunk 0's
+            path-invariant f-chain and never since, so all L list slots
+            are identical — the pending refresh is an exact no-op
+            (one-hot rows select equal values) and is skipped; the g runs
+            on one slot and broadcasts."""
 
             def branch(alpha, pend_a, beta, pend_b):
                 alpha = list(alpha)
@@ -380,8 +395,12 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 else:
                     lo = t - k
                     M = sizes[lo]
-                    parent = (llr_nb[None] if lo == 1
-                              else _apply_perm(pend_a[lo - 2], alpha[lo - 2]))
+                    if lo == 1:
+                        parent = llr_nb[None]
+                    elif invariant_parent:
+                        parent = alpha[lo - 2][:1]
+                    else:
+                        parent = _apply_perm(pend_a[lo - 2], alpha[lo - 2])
                     first, second = parent[:, :M, :], parent[:, M:, :]
                     left = _apply_perm(pend_b[lo - 1],
                                        beta[lo - 1].astype(dtype))
@@ -415,7 +434,9 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
             return branch
 
-        desc_branches = [_desc_branch(k) for k in range(t + 1)]
+        desc_branches = ([_desc_branch(k) for k in range(t + 1)]
+                         + [_desc_branch(k, invariant_parent=True)
+                            for k in range(max(t - 1, 0))])
         asc_branches = [_asc_branch(j) for j in range(t)]
 
         def chunk_step(carry, x):

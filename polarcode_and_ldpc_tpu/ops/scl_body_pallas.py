@@ -23,10 +23,13 @@ replacing the broadcast one-hot algebra with static-loop 2D forms
 (``_LOOP_ALGEBRA`` below) — the broadcast forms trip a Mosaic relayout
 rejection (``Invalid relayout: non-singleton logical dimension is
 replicated in destination but not in source``) on 3D vectors.  Hardware
-outputs are bit-identical to the XLA bodies (tools/pallas_tpu_probe.py:
-stage-2 full-decoder match True).  Flagship-config compile is ~3x the
-XLA bodies' (447 s vs 159 s, N=1024 L=8 chunk=128 batch 8192); see
-tools/scl_pallas_ab.py for the throughput A/B that decides the default.
+outputs are bit-identical to the XLA bodies (tools/pallas_tpu_probe.py
+stage-2 match; tools/scl_pallas_ab.py flagship match).  Measured flagship
+throughput (N=1024 L=8 chunk=128 batch=8192, chained-dispatch timing):
+**151.7 Mbps vs 116.5 Mbps** for the XLA bodies (+30%); compile 241-495 s
+vs ~162 s (tunnel-variable).  Config sweep (tools/scl_pallas_sweep.py):
+chunk 64 → 144.4, batch 16384 → 148.5 — chunk 128 / batch 8192 is the
+bench config.  bench.py attempts this path as a staged final upgrade.
 """
 
 from __future__ import annotations
