@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--N", type=int, default=1024)
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--body", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
     import jax
 
@@ -53,7 +54,8 @@ def main() -> None:
         "real_rate_half": real,
     }
     for name, mask in masks.items():
-        dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=args.chunk))
+        dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=args.chunk,
+                                            body_impl=args.body))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0
@@ -65,7 +67,7 @@ def main() -> None:
                 o = dec(llr)
             _force(o)
             best = min(best, (time.perf_counter() - t0) / 5)
-        print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, '
+        print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, "body": "{args.body}", '
               f'"compile_s": {tc:.1f}, "steady_s": {best:.4f}}}', flush=True)
 
 
