@@ -145,7 +145,11 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
 
     def body(alpha, pm):
         B = alpha.shape[-1]
-        assert B % batch_tile == 0, (B, batch_tile)
+        if B % batch_tile != 0:
+            # lane tiles need full 128-frame batches; smaller/unaligned
+            # batches (tiny MC chunks, odd test shapes) take the XLA body —
+            # bit-identical by construction, so this is purely a perf choice
+            return _make_chunk_body(flags, Lsz, dtype, leaf_impl)(alpha, pm)
         grid = (B // batch_tile,)
         return pl.pallas_call(
             kernel,

@@ -177,6 +177,7 @@ def make_polar_pipeline(
     crc_polynomial: str = "CRC-8",
     dtype=jnp.float32,
     channel_fn: Optional[Callable] = None,
+    scl_body_impl: str = "xla",
 ):
     """End-to-end polar Monte-Carlo step (reference ``simulate_polar``,
     ``ber_simulation.py:132-205``).
@@ -220,7 +221,8 @@ def make_polar_pipeline(
         # patterns) and keeps lanes full at any batch — the right default
         # for flagship-size codes; tiny codes keep the unrolled path
         impl = "scan-chunked" if N >= 512 else "unrolled"
-        scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl)
+        scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl,
+                               body_impl=scl_body_impl)
 
         def decode(llr):
             u_paths, metrics = scl(llr)

@@ -52,3 +52,21 @@ def test_pallas_body_ties(rng):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_pallas_body_unaligned_batch_falls_back(rng):
+    # batches that don't fill a 128-lane tile (tiny MC chunks) must still
+    # decode — the body falls back to the XLA program, which is the same
+    # math, so outputs stay bit-identical
+    N, K, L, S = 256, 128, 4, 64
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    flags = fm[bit_reverse_permutation(N)].reshape(N // S, S)[1]
+    alpha = jnp.asarray(rng.standard_normal((L, S, 48)).astype(np.float32) * 2)
+    pm = jnp.zeros((L, 48), jnp.float32).at[1:].set(-np.inf)
+    b1, p1, r1 = jax.jit(_make_chunk_body(flags, L, jnp.float32))(alpha, pm)
+    b2, p2, r2 = jax.jit(make_chunk_body_pallas(
+        flags, L, jnp.float32, interpret=True))(alpha, pm)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-ldpc", action="store_true")
     ap.add_argument("--skip-polar", action="store_true")
+    ap.add_argument("--scl-body", default="xla", choices=["xla", "pallas"],
+                    help="SCL chunk-body implementation for the polar run")
     args = ap.parse_args()
     import jax
 
@@ -61,7 +63,7 @@ def main() -> None:
         N, K, L = 1024, 512, 8
         frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
         step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
-                                   list_size=L)
+                                   list_size=L, scl_body_impl=args.scl_body)
         sim = MonteCarloSimulator(step, K - 8, chunk_frames=args.polar_chunk)
         _log(f"polar CA-SCL-8: {args.frames} frames @1 dB, "
              f"chunk {args.polar_chunk} (compiling) ...")
@@ -74,6 +76,7 @@ def main() -> None:
         wall = time.perf_counter() - t0
         d = res.to_dict()
         d["wall_seconds_post_warmup"] = wall
+        d["scl_body"] = args.scl_body
         out["polar_cascl8_n1024_1db_1M"] = d
         _log(f"polar: {d['throughput_mbps']:.1f} Mbps end-to-end, "
              f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
@@ -99,7 +102,12 @@ def main() -> None:
              f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
 
     OUT.mkdir(parents=True, exist_ok=True)
-    (OUT / "million_frame_run.json").write_text(json.dumps(out, indent=2))
+    path = OUT / "million_frame_run.json"
+    if path.exists():  # partial runs (--skip-*) refresh only their entries
+        merged = json.loads(path.read_text())
+        merged.update(out)
+        out = merged
+    path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 
