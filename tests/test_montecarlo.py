@@ -228,3 +228,70 @@ def test_scalar_reduction_matches_per_frame():
     assert sca.frames == per.frames == 256
     assert sca.bit_errors == per.bit_errors
     assert sca.frame_errors == per.frame_errors
+
+
+def test_chunks_per_dispatch_invariance():
+    # batching several device chunks per host dispatch (the remote-tunnel
+    # round-trip amortization) must not change any accounting: frames are
+    # still accumulated per chunk in frame order
+    step, K = _polar_step(snr_db=0.0)
+    base = MonteCarloSimulator(step, K, chunk_frames=50).run(300, seed=9)
+    multi = MonteCarloSimulator(step, K, chunk_frames=50,
+                                chunks_per_dispatch=4).run(300, seed=9)
+    assert multi.frames == base.frames == 300
+    assert multi.bit_errors == base.bit_errors
+    assert multi.frame_errors == base.frame_errors
+
+
+def test_chunks_per_dispatch_early_stop_exact():
+    # early stop crossing inside a multi-chunk dispatch: accounting must
+    # stop at the crossing frame exactly, in both reduction modes
+    step, K = _polar_step(snr_db=-10.0)
+    base = MonteCarloSimulator(step, K, chunk_frames=32).run(
+        10_000, max_errors=20, seed=0)
+    assert base.frames % 32 != 0  # crossing really was mid-chunk
+    for red in ("per_frame", "scalar"):
+        multi = MonteCarloSimulator(
+            step, K, chunk_frames=32, chunks_per_dispatch=3,
+            reduction=red).run(10_000, max_errors=20, seed=0)
+        assert multi.frames == base.frames, red
+        assert multi.bit_errors == base.bit_errors, red
+        assert multi.frame_errors == base.frame_errors, red
+
+
+def test_chunks_per_dispatch_unaligned_num_frames():
+    # num_frames lands mid-dispatch (and mid-chunk): the trailing
+    # sub-chunks must not be accounted
+    step, K = _polar_step(snr_db=0.0)
+    base = MonteCarloSimulator(step, K, chunk_frames=50).run(130, seed=9)
+    multi = MonteCarloSimulator(step, K, chunk_frames=50,
+                                chunks_per_dispatch=4).run(130, seed=9)
+    assert multi.frames == base.frames == 130
+    assert multi.bit_errors == base.bit_errors
+    assert multi.frame_errors == base.frame_errors
+
+
+def test_chunks_per_dispatch_checkpoint_resume(tmp_path):
+    step, K = _polar_step(snr_db=0.0)
+    ckpt = tmp_path / "mc.json"
+    full = MonteCarloSimulator(step, K, chunk_frames=50).run(300, seed=9)
+    sim = MonteCarloSimulator(step, K, chunk_frames=50,
+                              chunks_per_dispatch=2)
+    sim.run(130, seed=9, checkpoint_path=ckpt)
+    resumed = sim.run(300, seed=9, checkpoint_path=ckpt)
+    assert resumed.frames == 300
+    assert resumed.bit_errors == full.bit_errors
+    assert resumed.frame_errors == full.frame_errors
+
+
+def test_chunks_per_dispatch_with_iterations():
+    enc = fec.LDPCEncoder(48, 24, dv=3, dc=6, seed=42)
+    step = make_ldpc_pipeline(enc.H, enc.G, 0.0, decoder="bp", max_iter=10,
+                              message_idx=enc.info_positions)
+    base = MonteCarloSimulator(step, enc.k, chunk_frames=32).run(192, seed=3)
+    multi = MonteCarloSimulator(step, enc.k, chunk_frames=32,
+                                chunks_per_dispatch=3).run(192, seed=3)
+    assert multi.frames == base.frames
+    assert multi.bit_errors == base.bit_errors
+    assert multi.total_iterations == base.total_iterations
+    assert multi.iteration_frames == base.iteration_frames

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--skip-polar", action="store_true")
     ap.add_argument("--scl-body", default="xla", choices=["xla", "pallas"],
                     help="SCL chunk-body implementation for the polar run")
+    ap.add_argument("--chunks-per-dispatch", type=int, default=1,
+                    help="device chunks per host dispatch (amortizes the "
+                    "remote-tunnel round-trip)")
     args = ap.parse_args()
     import jax
 
@@ -64,7 +67,8 @@ def main() -> None:
         frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
         step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
                                    list_size=L, scl_body_impl=args.scl_body)
-        sim = MonteCarloSimulator(step, K - 8, chunk_frames=args.polar_chunk)
+        sim = MonteCarloSimulator(step, K - 8, chunk_frames=args.polar_chunk,
+                                  chunks_per_dispatch=args.chunks_per_dispatch)
         _log(f"polar CA-SCL-8: {args.frames} frames @1 dB, "
              f"chunk {args.polar_chunk} (compiling) ...")
         t0 = time.perf_counter()
@@ -77,6 +81,7 @@ def main() -> None:
         d = res.to_dict()
         d["wall_seconds_post_warmup"] = wall
         d["scl_body"] = args.scl_body
+        d["chunks_per_dispatch"] = args.chunks_per_dispatch
         out["polar_cascl8_n1024_1db_1M"] = d
         _log(f"polar: {d['throughput_mbps']:.1f} Mbps end-to-end, "
              f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
@@ -86,7 +91,8 @@ def main() -> None:
         step = make_ldpc_pipeline(enc.H, enc.G, None, decoder="bp",
                                   max_iter=20,
                                   message_idx=enc.info_positions)
-        sim = MonteCarloSimulator(step, enc.k, chunk_frames=args.ldpc_chunk)
+        sim = MonteCarloSimulator(step, enc.k, chunk_frames=args.ldpc_chunk,
+                                  chunks_per_dispatch=args.chunks_per_dispatch)
         _log(f"ldpc BP: {args.frames} frames @2 dB, chunk {args.ldpc_chunk} "
              "(compiling) ...")
         t0 = time.perf_counter()
