@@ -29,6 +29,7 @@ def run_snr_sweep(
     chunk_frames: int = 512,
     mesh=None,
     verbose: bool = False,
+    chunks_per_dispatch: int = 1,
 ) -> dict:
     """Run one Monte-Carlo simulation per SNR point.
 
@@ -51,9 +52,9 @@ def run_snr_sweep(
     try:
         step = pipeline_builder(None)
         if getattr(step, "runtime_snr", False):
-            shared_sim = MonteCarloSimulator(step, bits_per_frame,
-                                             chunk_frames=chunk_frames,
-                                             mesh=mesh)
+            shared_sim = MonteCarloSimulator(
+                step, bits_per_frame, chunk_frames=chunk_frames, mesh=mesh,
+                chunks_per_dispatch=chunks_per_dispatch)
     except Exception:
         shared_sim = None  # builder needs a concrete SNR → per-point path
 
@@ -66,8 +67,10 @@ def run_snr_sweep(
                 num_frames, max_errors=max_errors, seed=seed,
                 extra_args=(jnp.float32(snr_db),))
         else:
-            sim = MonteCarloSimulator(pipeline_builder(snr_db), bits_per_frame,
-                                      chunk_frames=chunk_frames, mesh=mesh)
+            sim = MonteCarloSimulator(
+                pipeline_builder(snr_db), bits_per_frame,
+                chunk_frames=chunk_frames, mesh=mesh,
+                chunks_per_dispatch=chunks_per_dispatch)
             res = sim.run(num_frames, max_errors=max_errors, seed=seed)
         out["snr_db"].append(float(snr_db))
         out["ber"].append(res.ber)
