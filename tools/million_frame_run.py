@@ -58,8 +58,10 @@ def main() -> None:
     out = {"note": ("million-frame Monte-Carlo on one TPU v5e chip via the "
                     "chunk-pipelined simulator (frames keyed by global id; "
                     "resumable via accumulator checkpoints); round-2 "
-                    "configuration: chunk-scan SCL decoder, large chunks, "
-                    "runtime-SNR steps"),
+                    "configuration: chunk-scan SCL decoder (Pallas fused "
+                    "chunk bodies), tuned chunk sizes, runtime-SNR steps, "
+                    "multi-chunk dispatches (tunnel round-trip "
+                    "amortization)"),
            "device": str(jax.devices()[0])}
 
     if not args.skip_polar:
