@@ -61,7 +61,8 @@ def select_best_path(info_paths, metrics, crc=None):
 
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
-                     chunk: int = 128, body_impl: str = "xla"):
+                     chunk: int = 128, body_impl: str = "xla",
+                     leaf_impl: str = "onehot"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -74,6 +75,11 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
     compile cost independent of N/batch, so large batches and large N are
     affordable; ``chunk`` sets the subtree size), or ``"scan"`` (the
     reference-trellis formulation below).  Bit-identical outputs.
+
+    ``leaf_impl`` (scan-chunked only): ``"onehot"`` ranks info-leaf
+    candidates by all-pairs comparison (O(L²) element-ops, no gathers);
+    ``"sort"`` uses a stable ``lax.sort`` (O(L log L) — wins at large L,
+    e.g. SCL-32).  Bit-identical outputs either way.
     """
     if impl == "unrolled":
         from .fastscl import make_scl_decoder_unrolled
@@ -83,7 +89,7 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
         from .scanscl import make_scl_decoder_scan
 
         return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype,
-                                     body_impl=body_impl)
+                                     leaf_impl=leaf_impl, body_impl=body_impl)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size
@@ -161,7 +167,8 @@ class SCLDecoder:
                  frozen_bits: Optional[np.ndarray] = None,
                  use_crc: bool = False, crc_polynomial: str = "CRC-8",
                  dtype=jnp.float32, impl: Optional[str] = None,
-                 chunk: int = 128, body_impl: str = "xla"):
+                 chunk: int = 128, body_impl: str = "xla",
+                 leaf_impl: str = "onehot"):
         if impl is None:  # auto: compile-light chunk-scan for large codes
             impl = "scan-chunked" if N >= 512 else "unrolled"
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
@@ -185,7 +192,7 @@ class SCLDecoder:
         self._crc = CRCCodec(K - crc_len, crc_polynomial) if use_crc else None
         self._decode_paths = jax.jit(make_scl_decoder(
             N, self.frozen_mask, list_size, dtype, impl=impl,
-            chunk=min(chunk, N), body_impl=body_impl))
+            chunk=min(chunk, N), body_impl=body_impl, leaf_impl=leaf_impl))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, u_paths, metrics):

@@ -192,3 +192,41 @@ def test_unrolled_scl_exact_flagship_size(rng):
         _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
         np.testing.assert_allclose(pm[i], ref_m, atol=1e-9)
         np.testing.assert_array_equal(u[i], ref_paths)
+
+
+@pytest.mark.parametrize("N,L,S", [(64, 8, 16), (128, 32, 64), (256, 4, 64)])
+def test_scan_chunked_sort_leaf_exact(N, L, S, rng):
+    # sort-based info-leaf selection (the large-L path, e.g. SCL-32) must
+    # match the NumPy twin exactly — stable lax.sort reproduces the
+    # reference's metric-desc / candidate-index tie order (decoder.py:306-307)
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import make_scl_decoder_scan
+
+    mask = _mask(N, N // 2)
+    dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64, leaf_impl="sort"))
+    llr = rng.standard_normal((4, N)) * 1.5
+    llr[0, :3] = 0.0  # adversarial zero-LLR ties
+    u_paths, pm = dec(llr)
+    u_paths, pm = np.asarray(u_paths), np.asarray(pm)
+    for i in range(len(llr)):
+        _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
+        np.testing.assert_allclose(pm[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(u_paths[i], ref_paths)
+
+
+def test_scan_chunked_sort_leaf_equals_onehot_large_list(rng):
+    # the two leaf selections are interchangeable at every config — pin the
+    # SCL-32 shape used by the large-code artifact (tools/large_code_runs.py)
+    N, L, S = 512, 32, 128
+    mask = _mask(N, 300)  # irregular K → duplicate-metric phantom ties
+    d_oh = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                    impl="scan-chunked", chunk=S,
+                                    leaf_impl="onehot"))
+    d_so = jax.jit(make_scl_decoder(N, mask, L, jnp.float64,
+                                    impl="scan-chunked", chunk=S,
+                                    leaf_impl="sort"))
+    llr = rng.standard_normal((6, N)) * 1.5
+    u_o, pm_o = d_oh(llr)
+    u_s, pm_s = d_so(llr)
+    np.testing.assert_array_equal(np.asarray(u_o), np.asarray(u_s))
+    np.testing.assert_allclose(np.asarray(pm_o), np.asarray(pm_s), atol=0)

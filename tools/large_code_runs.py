@@ -96,7 +96,8 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0) -> dict:
 
 
 def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
-                  chunk: int = 64) -> dict:
+                  chunk: int = 64, body: str = "xla",
+                  leaf: str = "onehot") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -123,7 +124,8 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
     llr = jnp.asarray(awgn_llr_np(u, snr_db, rng.standard_normal((batch, N)))
                       .astype(np.float32))
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
-                                   chunk=chunk))
+                                   chunk=chunk, body_impl=body,
+                                   leaf_impl=leaf))
     _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}) ...")
     t0 = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(dec(llr))
@@ -137,7 +139,7 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
     return {
         "config": {"N": N, "K": K, "list_size": list_size, "decoder": "scl",
                    "impl": "scan-chunked", "chunk": chunk, "snr_db": snr_db,
-                   "batch": batch},
+                   "batch": batch, "body_impl": body, "leaf_impl": leaf},
         "compile_seconds": t_compile,
         "decode_seconds_per_batch": t,
         "decoded_info_mbps": batch * K / t / 1e6,
@@ -153,6 +155,8 @@ def main():
     ap.add_argument("--frames", type=int, default=2048)
     ap.add_argument("--list", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--body", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -164,7 +168,8 @@ def main():
         out = run_ldpc8192(args.batch or 512, args.frames)
         path = OUT_DIR / "ldpc_n8192_qc_bp.json"
     else:
-        out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk)
+        out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk,
+                            body=args.body, leaf=args.leaf)
         path = OUT_DIR / "polar_n4096_scl32.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--body", default="xla")
+    ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -64,9 +65,11 @@ def main() -> None:
 
     llr_dev = jnp.asarray(llr)
     print(f"device={jax.devices()[0]} impl={args.impl} N={N} K={K} L={L} "
-          f"B={B} chunk={args.chunk} body={args.body}", file=sys.stderr, flush=True)
+          f"B={B} chunk={args.chunk} body={args.body} leaf={args.leaf}",
+          file=sys.stderr, flush=True)
     dec = jax.jit(make_scl_decoder(N, fm, L, impl=args.impl,
-                                   chunk=args.chunk, body_impl=args.body))
+                                   chunk=args.chunk, body_impl=args.body,
+                                   leaf_impl=args.leaf))
     t0 = time.perf_counter()
     out = dec(llr_dev)
     _force(out)
