@@ -178,6 +178,8 @@ def make_polar_pipeline(
     dtype=jnp.float32,
     channel_fn: Optional[Callable] = None,
     scl_body_impl: str = "xla",
+    scl_chunk: int = 128,
+    scl_leaf_impl: str = "onehot",
 ):
     """End-to-end polar Monte-Carlo step (reference ``simulate_polar``,
     ``ber_simulation.py:132-205``).
@@ -222,7 +224,9 @@ def make_polar_pipeline(
         # for flagship-size codes; tiny codes keep the unrolled path
         impl = "scan-chunked" if N >= 512 else "unrolled"
         scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl,
-                               body_impl=scl_body_impl)
+                               chunk=min(scl_chunk, N),
+                               body_impl=scl_body_impl,
+                               leaf_impl=scl_leaf_impl)
 
         def decode(llr):
             u_paths, metrics = scl(llr)

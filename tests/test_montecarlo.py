@@ -295,3 +295,15 @@ def test_chunks_per_dispatch_with_iterations():
     assert multi.bit_errors == base.bit_errors
     assert multi.total_iterations == base.total_iterations
     assert multi.iteration_frames == base.iteration_frames
+
+
+def test_polar_pipeline_scl_knobs_invariant():
+    # scl_chunk / scl_leaf_impl tune the decoder without changing results —
+    # the large-code MC (tools/large_code_mc.py) relies on this
+    step_a, K = _polar_step(N=512, K=256, decoder="scl", list_size=4)
+    step_b, _ = _polar_step(N=512, K=256, decoder="scl", list_size=4,
+                            scl_chunk=64, scl_leaf_impl="sort")
+    a = MonteCarloSimulator(step_a, K, chunk_frames=64).run(128, seed=5)
+    b = MonteCarloSimulator(step_b, K, chunk_frames=64).run(128, seed=5)
+    assert a.bit_errors == b.bit_errors
+    assert a.frame_errors == b.frame_errors
