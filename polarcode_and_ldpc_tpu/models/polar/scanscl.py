@@ -253,7 +253,8 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           chunk: int = 128, dtype=jnp.float32,
                           leaf_impl: str = "onehot",
-                          body_impl: str = "xla"):
+                          body_impl: str = "xla",
+                          control_impl: str = "split"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -261,6 +262,13 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
     ``chunk`` is the subtree size S cut by the scan (power of two ≤ N);
     compile cost is O(unique patterns · S + log(N/S)), independent of batch.
+
+    ``control_impl``: ``"split"`` dispatches each chunk's descend / body /
+    ascend phases as three ``lax.switch`` ops; ``"fused"`` pre-combines
+    them into ONE switch over the unique (descend, pattern, ascend)
+    triples — fewer per-chunk control barriers (TPU conditionals cost
+    ~ms-scale pipeline flushes) at slightly higher compile cost (bodies
+    re-trace per triple instead of per pattern).  Bit-identical outputs.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -351,11 +359,25 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
     # the LAST chunk runs as straight-line code outside the scan (static
     # schedule) so the [L, N, B] root assembly never lives in the scan carry
-    xs = {
-        "desc_k": jnp.asarray(desc_k[:C - 1]),
-        "asc_j": jnp.asarray(asc_j[:C - 1]),
-        "pid": jnp.asarray(pattern_ids[:C - 1]),
-    }
+    assert control_impl in ("split", "fused"), control_impl
+    if control_impl == "fused":
+        # one switch per chunk over the unique (descend, pattern, ascend)
+        # triples that actually occur in the schedule
+        triples = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]))
+                   for c in range(C - 1)]
+        uniq_t: dict[tuple, int] = {}
+        tid = np.zeros(C - 1, np.int32)
+        for c, tr in enumerate(triples):
+            if tr not in uniq_t:
+                uniq_t[tr] = len(uniq_t)
+            tid[c] = uniq_t[tr]
+        xs = {"tid": jnp.asarray(tid)}
+    else:
+        xs = {
+            "desc_k": jnp.asarray(desc_k[:C - 1]),
+            "asc_j": jnp.asarray(asc_j[:C - 1]),
+            "pid": jnp.asarray(pattern_ids[:C - 1]),
+        }
 
     def decode(llr):
         llr = jnp.asarray(llr, dtype)
@@ -434,34 +456,64 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
             return branch
 
-        desc_branches = ([_desc_branch(k) for k in range(t + 1)]
-                         + [_desc_branch(k, invariant_parent=True)
-                            for k in range(max(t - 1, 0))])
-        asc_branches = [_asc_branch(j) for j in range(t)]
+        def _desc_by_selector(sel: int):
+            """Selector → descend branch (same encoding as ``desc_k``:
+            0..t are plain variants, t+1+k are invariant-parent variants)."""
+            if sel <= t:
+                return _desc_branch(sel)
+            return _desc_branch(sel - t - 1, invariant_parent=True)
 
-        def chunk_step(carry, x):
-            alpha, pend_a = lax.switch(
-                x["desc_k"], desc_branches, carry["alpha"], carry["pend_a"],
-                carry["beta"], carry["pend_b"])
-            beta, pend_b = list(carry["beta"]), list(carry["pend_b"])
+        if control_impl == "fused":
+            def _super_branch(sel: int, pid: int, j: int):
+                desc = _desc_by_selector(sel)
+                asc = _asc_branch(j)
 
-            # ---- chunk body: decode the size-S subtree (specialized) ------
-            if len(bodies) == 1:
-                beta_c, pm, R = bodies[0](alpha[t - 1], pm=carry["pm"])
-            else:
-                beta_c, pm, R = lax.switch(x["pid"], bodies, alpha[t - 1],
-                                           carry["pm"])
+                def branch(carry):
+                    alpha, pend_a = desc(carry["alpha"], carry["pend_a"],
+                                         carry["beta"], carry["pend_b"])
+                    beta_c, pm, R = bodies[pid](alpha[t - 1], carry["pm"])
+                    pend_a = [_compose(R, p) for p in pend_a]
+                    pend_b = [_compose(R, p) for p in carry["pend_b"]]
+                    beta, pend_b = asc(tuple(carry["beta"]), tuple(pend_b),
+                                       beta_c)
+                    return dict(alpha=alpha, pend_a=tuple(pend_a),
+                                beta=beta, pend_b=pend_b, pm=pm)
 
-            # ---- compose the chunk's relative permutation into pendings ---
-            pend_a = [_compose(R, p) for p in pend_a]
-            pend_b = [_compose(R, p) for p in pend_b]
+                return branch
 
-            # ---- ascend: combine completed right subtrees, park left ------
-            beta, pend_b = lax.switch(x["asc_j"], asc_branches,
-                                      tuple(beta), tuple(pend_b), beta_c)
+            super_branches = [_super_branch(*tr) for tr in uniq_t]
 
-            return dict(alpha=alpha, pend_a=tuple(pend_a),
-                        beta=beta, pend_b=pend_b, pm=pm), None
+            def chunk_step(carry, x):
+                return lax.switch(x["tid"], super_branches, carry), None
+
+        else:
+            desc_branches = [_desc_by_selector(sel)
+                             for sel in range(t + 1 + max(t - 1, 0))]
+            asc_branches = [_asc_branch(j) for j in range(t)]
+
+            def chunk_step(carry, x):
+                alpha, pend_a = lax.switch(
+                    x["desc_k"], desc_branches, carry["alpha"],
+                    carry["pend_a"], carry["beta"], carry["pend_b"])
+                beta, pend_b = list(carry["beta"]), list(carry["pend_b"])
+
+                # ---- chunk body: decode the size-S subtree (specialized) --
+                if len(bodies) == 1:
+                    beta_c, pm, R = bodies[0](alpha[t - 1], pm=carry["pm"])
+                else:
+                    beta_c, pm, R = lax.switch(x["pid"], bodies, alpha[t - 1],
+                                               carry["pm"])
+
+                # ---- compose the chunk's relative permutation into pendings
+                pend_a = [_compose(R, p) for p in pend_a]
+                pend_b = [_compose(R, p) for p in pend_b]
+
+                # ---- ascend: combine completed right subtrees, park left --
+                beta, pend_b = lax.switch(x["asc_j"], asc_branches,
+                                          tuple(beta), tuple(pend_b), beta_c)
+
+                return dict(alpha=alpha, pend_a=tuple(pend_a),
+                            beta=beta, pend_b=pend_b, pm=pm), None
 
         carry, _ = lax.scan(chunk_step, carry, xs)
 

@@ -230,3 +230,30 @@ def test_scan_chunked_sort_leaf_equals_onehot_large_list(rng):
     u_s, pm_s = d_so(llr)
     np.testing.assert_array_equal(np.asarray(u_o), np.asarray(u_s))
     np.testing.assert_allclose(np.asarray(pm_o), np.asarray(pm_s), atol=0)
+
+
+@pytest.mark.parametrize("N,L,S", [(64, 4, 16), (256, 8, 64)])
+def test_scan_chunked_fused_control_exact(N, L, S, rng):
+    # the fused (one-switch-per-chunk) control schedule must match the
+    # NumPy twin and the split-switch schedule exactly — same descend/
+    # body/ascend programs, just pre-combined per (descend, pattern,
+    # ascend) triple
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import make_scl_decoder_scan
+
+    mask = _mask(N, N // 2 + 2)  # irregular K → distinct triples
+    d_f = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64,
+                                        control_impl="fused"))
+    d_s = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64,
+                                        control_impl="split"))
+    llr = rng.standard_normal((5, N)) * 1.5
+    llr[0, :2] = 0.0
+    u_f, pm_f = d_f(llr)
+    u_s, pm_s = d_s(llr)
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_s))
+    np.testing.assert_allclose(np.asarray(pm_f), np.asarray(pm_s), atol=0)
+    for i in range(len(llr)):
+        _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
+        np.testing.assert_allclose(np.asarray(pm_f)[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(u_f)[i], ref_paths)

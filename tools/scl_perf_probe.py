@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--body", default="xla")
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
+    ap.add_argument("--control", default="split", choices=["split", "fused"])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -69,7 +70,8 @@ def main() -> None:
           file=sys.stderr, flush=True)
     dec = jax.jit(make_scl_decoder(N, fm, L, impl=args.impl,
                                    chunk=args.chunk, body_impl=args.body,
-                                   leaf_impl=args.leaf))
+                                   leaf_impl=args.leaf,
+                                   control_impl=args.control))
     t0 = time.perf_counter()
     out = dec(llr_dev)
     _force(out)
