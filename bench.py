@@ -81,14 +81,17 @@ def _polar_encode_host(msgs, N, info_bits):
     return u
 
 
-def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla") -> dict:
+def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
+                     control_impl: str = "split") -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
     # batches are affordable.  v5e (2026-08-17): XLA bodies 116.4 Mbps at
     # batch 8192 / chunk 128, compile ~2.7 min; Pallas fused bodies
-    # (body_impl="pallas") 151.7 Mbps, compile ~4-8 min — benched as a
-    # staged upgrade after the safe line is out.  The round-1 unrolled
-    # decoder peaked at 23.8 Mbps @ batch 512.
+    # (body_impl="pallas") + fused per-chunk control 159.7 Mbps (split
+    # control 152.7 — same-session A/B), compile ~4-8 min — benched as a
+    # staged upgrade after the safe line is out.  Fused control slightly
+    # REGRESSES the XLA bodies (111 vs 116), so the safe line keeps split.
+    # The round-1 unrolled decoder peaked at 23.8 Mbps @ batch 512.
     import jax
 
     import jax.numpy as jnp
@@ -111,10 +114,11 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla") -> dict:
     cw = _polar_encode_host(msgs, N, info_bits)
     llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=42))
 
-    _log(f"polar: compiling SCL-8 N=1024 (scan-chunked/{body_impl}, "
-         f"batch {batch}) ...")
+    _log(f"polar: compiling SCL-8 N=1024 (scan-chunked/{body_impl}/"
+         f"{control_impl}, batch {batch}) ...")
     decode = jax.jit(make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
-                                      body_impl=body_impl))
+                                      body_impl=body_impl,
+                                      control_impl=control_impl))
     t_first = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(decode(llr))
     _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
@@ -204,7 +208,7 @@ def main() -> None:
     # lose the upgrade, never the safe lines above (the driver reads the
     # last complete line)
     try:
-        polar_p = bench_polar_scl8(body_impl="pallas")
+        polar_p = bench_polar_scl8(body_impl="pallas", control_impl="fused")
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"polar pallas upgrade failed (keeping xla line): {e!r}")
         return
@@ -217,6 +221,7 @@ def main() -> None:
             alg_gops_per_s=round(
                 polar_p["roofline"]["algorithmic_ops_per_s"] / 1e9, 2),
             scl_body="pallas",
+            scl_control="fused",
             xla_body_mbps=round(polar["mbps"], 3),
         )
         print(json.dumps(result))

@@ -169,7 +169,7 @@ class SCLDecoder:
                  use_crc: bool = False, crc_polynomial: str = "CRC-8",
                  dtype=jnp.float32, impl: Optional[str] = None,
                  chunk: int = 128, body_impl: str = "xla",
-                 leaf_impl: str = "onehot"):
+                 leaf_impl: str = "onehot", control_impl: str = "split"):
         if impl is None:  # auto: compile-light chunk-scan for large codes
             impl = "scan-chunked" if N >= 512 else "unrolled"
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
@@ -193,7 +193,8 @@ class SCLDecoder:
         self._crc = CRCCodec(K - crc_len, crc_polynomial) if use_crc else None
         self._decode_paths = jax.jit(make_scl_decoder(
             N, self.frozen_mask, list_size, dtype, impl=impl,
-            chunk=min(chunk, N), body_impl=body_impl, leaf_impl=leaf_impl))
+            chunk=min(chunk, N), body_impl=body_impl, leaf_impl=leaf_impl,
+            control_impl=control_impl))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, u_paths, metrics):

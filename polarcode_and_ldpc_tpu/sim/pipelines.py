@@ -180,6 +180,7 @@ def make_polar_pipeline(
     scl_body_impl: str = "xla",
     scl_chunk: int = 128,
     scl_leaf_impl: str = "onehot",
+    scl_control_impl: str = "split",
 ):
     """End-to-end polar Monte-Carlo step (reference ``simulate_polar``,
     ``ber_simulation.py:132-205``).
@@ -226,7 +227,8 @@ def make_polar_pipeline(
         scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl,
                                chunk=min(scl_chunk, N),
                                body_impl=scl_body_impl,
-                               leaf_impl=scl_leaf_impl)
+                               leaf_impl=scl_leaf_impl,
+                               control_impl=scl_control_impl)
 
         def decode(llr):
             u_paths, metrics = scl(llr)

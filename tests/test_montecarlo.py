@@ -302,7 +302,8 @@ def test_polar_pipeline_scl_knobs_invariant():
     # the large-code MC (tools/large_code_mc.py) relies on this
     step_a, K = _polar_step(N=512, K=256, decoder="scl", list_size=4)
     step_b, _ = _polar_step(N=512, K=256, decoder="scl", list_size=4,
-                            scl_chunk=64, scl_leaf_impl="sort")
+                            scl_chunk=64, scl_leaf_impl="sort",
+                            scl_control_impl="fused")
     a = MonteCarloSimulator(step_a, K, chunk_frames=64).run(128, seed=5)
     b = MonteCarloSimulator(step_b, K, chunk_frames=64).run(128, seed=5)
     assert a.bit_errors == b.bit_errors

@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--skip-polar", action="store_true")
     ap.add_argument("--scl-body", default="xla", choices=["xla", "pallas"],
                     help="SCL chunk-body implementation for the polar run")
+    ap.add_argument("--scl-control", default="split",
+                    choices=["split", "fused"],
+                    help="per-chunk control dispatch (fused wins with "
+                    "pallas bodies, regresses xla ones)")
     ap.add_argument("--chunks-per-dispatch", type=int, default=1,
                     help="device chunks per host dispatch (amortizes the "
                     "remote-tunnel round-trip)")
@@ -68,7 +72,8 @@ def main() -> None:
         N, K, L = 1024, 512, 8
         frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
         step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
-                                   list_size=L, scl_body_impl=args.scl_body)
+                                   list_size=L, scl_body_impl=args.scl_body,
+                                   scl_control_impl=args.scl_control)
         sim = MonteCarloSimulator(step, K - 8, chunk_frames=args.polar_chunk,
                                   chunks_per_dispatch=args.chunks_per_dispatch)
         _log(f"polar CA-SCL-8: {args.frames} frames @1 dB, "
@@ -83,6 +88,7 @@ def main() -> None:
         d = res.to_dict()
         d["wall_seconds_post_warmup"] = wall
         d["scl_body"] = args.scl_body
+        d["scl_control"] = args.scl_control
         d["chunks_per_dispatch"] = args.chunks_per_dispatch
         out["polar_cascl8_n1024_1db_1M"] = d
         _log(f"polar: {d['throughput_mbps']:.1f} Mbps end-to-end, "

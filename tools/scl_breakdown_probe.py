@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--body", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--control", default="split", choices=["split", "fused"])
     args = ap.parse_args()
     import jax
 
@@ -55,7 +56,8 @@ def main() -> None:
     }
     for name, mask in masks.items():
         dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=args.chunk,
-                                            body_impl=args.body))
+                                            body_impl=args.body,
+                                            control_impl=args.control))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0
@@ -67,7 +69,8 @@ def main() -> None:
                 o = dec(llr)
             _force(o)
             best = min(best, (time.perf_counter() - t0) / 5)
-        print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, "body": "{args.body}", '
+        print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, '
+              f'"body": "{args.body}", "control": "{args.control}", '
               f'"compile_s": {tc:.1f}, "steady_s": {best:.4f}}}', flush=True)
 
 
