@@ -165,6 +165,15 @@ def _identity_r(Lsz, batch, dtype):
                             (Lsz, Lsz, batch))
 
 
+def _broadcast_rows(x, L):
+    """``[1, M, B] → [L, M, B]`` (no-op when already L rows).  The kernel
+    algebra overrides this with an explicit concat — Mosaic rejects
+    leading-dim replicated broadcasts on 3D vectors."""
+    if x.shape[0] == L:
+        return x
+    return jnp.broadcast_to(x, (L,) + x.shape[1:])
+
+
 #: default (XLA) one-hot list algebra — broadcast forms, fused by XLA
 _BROADCAST_ALGEBRA = {
     "apply_perm": _apply_perm,
@@ -172,6 +181,7 @@ _BROADCAST_ALGEBRA = {
     "compose": _compose,
     "info_leaf": _info_leaf,
     "identity_r": _identity_r,
+    "broadcast_rows": _broadcast_rows,
 }
 
 
@@ -250,6 +260,118 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     return body
 
 
+def decode_selector(sel: int, t: int) -> tuple[int, bool]:
+    """Descend-selector encoding shared by the schedule and the kernels:
+    0..t are plain variants (k = sel), t+1+k are invariant-parent
+    variants.  Returns ``(k, invariant_parent)``."""
+    if sel <= t:
+        return sel, False
+    return sel - t - 1, True
+
+
+def super_touch_sets(sel: int, j: int, t: int):
+    """Static I/O footprint of one super-step variant (list indices into
+    the level stacks, level l ↔ index l−1).  Drives the selective-operand
+    Pallas superkernel (``ops/scl_superchunk_pallas.py``) — per-variant
+    VMEM stays small because only the touched levels ride through the
+    kernel."""
+    k, _ = decode_selector(sel, t)
+    if k == t:
+        needs_llr = True
+        alpha_read: list[int] = []
+        alpha_write = list(range(t))
+        beta_read_desc: list[int] = []
+    else:
+        lo = t - k
+        needs_llr = lo == 1
+        alpha_read = [] if lo == 1 else [lo - 2]
+        alpha_write = list(range(lo - 1, t))
+        beta_read_desc = [lo - 1]
+    beta_read = sorted(set(beta_read_desc)
+                       | {t - 1 - s for s in range(j)})
+    beta_write = [t - j - 1]
+    return dict(needs_llr=needs_llr, alpha_read=alpha_read,
+                alpha_write=alpha_write, beta_read=beta_read,
+                beta_write=beta_write)
+
+
+def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
+                   body_fn, algebra=None):
+    """One whole chunk step — descend(sel) → body → pending composes →
+    ascend(j) — as a pure function of explicit operands:
+
+    ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
+    pend_b tuple, pm [L, B]) → (alpha', pend_a', beta', pend_b', pm')``
+
+    This is the single source of truth for the fused control path: the
+    XLA form runs it with the broadcast algebra; the Pallas superkernel
+    (``ops/scl_superchunk_pallas.py``) traces the identical program
+    against VMEM refs with the static-loop algebra — outputs are
+    bit-exact either way (one-hot sums have a single nonzero term).
+    Untouched levels (see ``super_touch_sets``) pass through unread, so
+    callers may stub them with ``None``.
+    """
+    if algebra is None:
+        algebra = _BROADCAST_ALGEBRA
+    apply_perm = algebra["apply_perm"]
+    apply_perm_bits = algebra["apply_perm_bits"]
+    compose = algebra["compose"]
+    identity_r = algebra["identity_r"]
+    broadcast_rows = algebra["broadcast_rows"]
+    k, invariant_parent = decode_selector(sel, t)
+
+    def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
+        batch = pm.shape[-1]
+        eye = identity_r(Lsz, batch, dtype)
+        alpha = list(alpha)
+        pend_a = list(pend_a)
+        pend_b = list(pend_b)
+        beta = list(beta)
+        # ---- descend: g at level t−k (all-f from the root when k = t),
+        # then a current-order f chain down to level t ---------------------
+        if k == t:  # chunk 0: f all the way from the channel LLRs
+            parent = llr_nb[None]  # [1, N, B] — path-invariant
+            lo = 1
+        else:
+            lo = t - k
+            M = sizes[lo]
+            if lo == 1:
+                parent = llr_nb[None]
+            elif invariant_parent:
+                parent = alpha[lo - 2][:1]
+            else:
+                parent = apply_perm(pend_a[lo - 2], alpha[lo - 2])
+            left = apply_perm(pend_b[lo - 1], beta[lo - 1].astype(dtype))
+            first = broadcast_rows(parent[:, :M, :], Lsz)
+            second = broadcast_rows(parent[:, M:, :], Lsz)
+            parent = second + (1.0 - 2.0 * left) * first  # g
+            alpha[lo - 1] = parent
+            pend_a[lo - 1] = eye
+            lo += 1
+        for l in range(lo, t + 1):
+            M = sizes[l]
+            parent = f_minsum(parent[:, :M, :], parent[:, M:, :])
+            alpha[l - 1] = broadcast_rows(parent, Lsz)
+            pend_a[l - 1] = eye
+        # ---- chunk body (statically specialized subtree decode) ----------
+        beta_c, pm, R = body_fn(alpha[t - 1], pm)
+        # ---- compose the chunk's relative permutation into pendings ------
+        pend_a = [compose(R, p) for p in pend_a]
+        pend_b = [compose(R, p) for p in pend_b]
+        # ---- ascend: combine completed right subtrees, park left ---------
+        cur = beta_c
+        for step_i in range(j):
+            i = t - step_i - 1
+            left_bits = apply_perm_bits(pend_b[i], beta[i])
+            cur = jnp.concatenate([left_bits ^ cur, cur], axis=1)
+        stop = t - j - 1
+        beta[stop] = cur
+        pend_b[stop] = eye
+        return (tuple(alpha), tuple(pend_a), tuple(beta), tuple(pend_b), pm)
+
+    return fn
+
+
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           chunk: int = 128, dtype=jnp.float32,
                           leaf_impl: str = "onehot",
@@ -263,12 +385,20 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     ``chunk`` is the subtree size S cut by the scan (power of two ≤ N);
     compile cost is O(unique patterns · S + log(N/S)), independent of batch.
 
-    ``control_impl``: ``"split"`` dispatches each chunk's descend / body /
-    ascend phases as three ``lax.switch`` ops; ``"fused"`` pre-combines
-    them into ONE switch over the unique (descend, pattern, ascend)
-    triples — fewer per-chunk control barriers (TPU conditionals cost
-    ~ms-scale pipeline flushes) at slightly higher compile cost (bodies
-    re-trace per triple instead of per pattern).  Bit-identical outputs.
+    ``control_impl`` (bit-identical outputs in every mode):
+
+    * ``"split"`` — each chunk's descend / body / ascend phases dispatch
+      as three ``lax.switch`` ops (the safe default);
+    * ``"fused"`` — ONE switch per chunk over the unique (descend,
+      pattern, ascend) triples;
+    * ``"kernel"`` — like fused, but each triple's whole chunk step runs
+      as ONE Pallas kernel with selective operands
+      (``ops/scl_superchunk_pallas.py``); ``"kernel-interpret"`` is its
+      CPU-testable interpret-mode twin;
+    * ``"unroll-fused"`` / ``"unroll-kernel"`` — no scan, no switch: a
+      straight-line chunk program (compile O(chunks) instead of O(unique
+      triples); the switch barriers, not their contents, were measured as
+      the dominant decode floor).
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -359,8 +489,9 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
     # the LAST chunk runs as straight-line code outside the scan (static
     # schedule) so the [L, N, B] root assembly never lives in the scan carry
-    assert control_impl in ("split", "fused"), control_impl
-    if control_impl == "fused":
+    assert control_impl in ("split", "fused", "kernel", "kernel-interpret",
+                            "unroll-fused", "unroll-kernel"), control_impl
+    if control_impl != "split":
         # one switch per chunk over the unique (descend, pattern, ascend)
         # triples that actually occur in the schedule
         triples = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]))
@@ -463,28 +594,54 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 return _desc_branch(sel)
             return _desc_branch(sel - t - 1, invariant_parent=True)
 
-        if control_impl == "fused":
-            def _super_branch(sel: int, pid: int, j: int):
-                desc = _desc_by_selector(sel)
-                asc = _asc_branch(j)
+        if control_impl != "split":
+            if control_impl in ("fused", "unroll-fused"):
+                def _super_branch(tr):
+                    sel, pid, j = tr
+                    fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
+                                        bodies[pid])
 
-                def branch(carry):
-                    alpha, pend_a = desc(carry["alpha"], carry["pend_a"],
-                                         carry["beta"], carry["pend_b"])
-                    beta_c, pm, R = bodies[pid](alpha[t - 1], carry["pm"])
-                    pend_a = [_compose(R, p) for p in pend_a]
-                    pend_b = [_compose(R, p) for p in carry["pend_b"]]
-                    beta, pend_b = asc(tuple(carry["beta"]), tuple(pend_b),
-                                       beta_c)
-                    return dict(alpha=alpha, pend_a=tuple(pend_a),
-                                beta=beta, pend_b=pend_b, pm=pm)
+                    def branch(carry):
+                        alpha, pend_a, beta, pend_b, pm = fn(
+                            llr_nb, carry["alpha"], carry["pend_a"],
+                            carry["beta"], carry["pend_b"], carry["pm"])
+                        return dict(alpha=alpha, pend_a=pend_a, beta=beta,
+                                    pend_b=pend_b, pm=pm)
 
-                return branch
+                    return branch
+            else:  # whole chunk step fused into ONE Pallas kernel
+                from ...ops.scl_superchunk_pallas import make_superchunk_pallas
 
-            super_branches = [_super_branch(*tr) for tr in uniq_t]
+                def _super_branch(tr):
+                    sel, pid, j = tr
+                    fn = make_superchunk_pallas(
+                        sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
+                        leaf_impl=leaf_impl,
+                        interpret=control_impl == "kernel-interpret")
 
-            def chunk_step(carry, x):
-                return lax.switch(x["tid"], super_branches, carry), None
+                    def branch(carry):
+                        alpha, pend_a, beta, pend_b, pm = fn(
+                            llr_nb, carry["alpha"], carry["pend_a"],
+                            carry["beta"], carry["pend_b"], carry["pm"])
+                        return dict(alpha=alpha, pend_a=pend_a, beta=beta,
+                                    pend_b=pend_b, pm=pm)
+
+                    return branch
+
+            super_branches = [_super_branch(tr) for tr in uniq_t]
+
+            if control_impl.startswith("unroll"):
+                # straight-line chunk program: no scan, no switch — each
+                # chunk position calls its variant directly.  Compile cost
+                # is O(chunks) instead of O(unique triples); at flagship
+                # sizes the triples are all distinct anyway, and the
+                # lax.switch barriers (not their contents) were measured
+                # as the dominant floor (the all-frozen mask costs 80% of
+                # the real one).  Prefer this whenever C is modest.
+                chunk_step = None
+            else:
+                def chunk_step(carry, x):
+                    return lax.switch(x["tid"], super_branches, carry), None
 
         else:
             desc_branches = [_desc_by_selector(sel)
@@ -515,7 +672,11 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 return dict(alpha=alpha, pend_a=tuple(pend_a),
                             beta=beta, pend_b=pend_b, pm=pm), None
 
-        carry, _ = lax.scan(chunk_step, carry, xs)
+        if control_impl.startswith("unroll"):
+            for c in range(C - 1):
+                carry = super_branches[int(tid[c])](carry)
+        else:
+            carry, _ = lax.scan(chunk_step, carry, xs)
 
         # ---- last chunk (c = C−1 = 0b11…1): straight-line, static flags ---
         # descend: only level t changes (ctz(C−1) = 0), direction g

@@ -1,0 +1,156 @@
+"""Whole-chunk-step SCL superkernels (the round-2 "glue is the bottleneck"
+fix).
+
+With the chunk *bodies* already fused (``scl_body_pallas.py``), the
+breakdown probe shows ~75-80% of flagship decode time left in the per-chunk
+glue — descend refreshes, pending composes, ascend combines — which XLA
+runs as hundreds of small kernels per chunk (launch overhead, not FLOPs:
+the glue's arithmetic is ~2 ms of a 21.6 ms all-frozen floor at batch
+8192).  This module fuses ONE ENTIRE chunk step — descend(sel) → subtree
+body → pending composes → ascend(j) — into a single TPU kernel per
+(descend, pattern, ascend) variant.
+
+The kernel body is the same jnp program as the XLA fused-control path:
+``scanscl._make_super_fn`` traced against VMEM refs with the static-loop
+one-hot algebra (``scl_body_pallas._LOOP_ALGEBRA``), so outputs are
+bit-identical by construction (tests enforce, interpret mode on CPU).
+
+Selective operands: each variant touches only a static subset of the
+level stacks (``scanscl.super_touch_sets``) — untouched levels never
+enter the kernel, keeping per-variant VMEM ≤ ~5 MB per 128-lane batch
+tile (v5e VMEM ≈ 16 MB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.polar.scanscl import (
+    _make_chunk_body,
+    _make_super_fn,
+    super_touch_sets,
+)
+from .scl_body_pallas import _LOOP_ALGEBRA
+
+
+def _broadcast_rows_concat(x, L):
+    """Explicit row replication — Mosaic rejects leading-dim replicated
+    broadcasts on 3D vectors (same bug class as the one-hot algebra)."""
+    if x.shape[0] == L:
+        return x
+    assert x.shape[0] == 1, x.shape
+    return jnp.concatenate([x] * L, axis=0)
+
+
+#: in-kernel algebra: static-loop one-hot forms + explicit row replication
+_SUPER_ALGEBRA = dict(_LOOP_ALGEBRA, broadcast_rows=_broadcast_rows_concat)
+
+
+def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
+                           sizes, Lsz: int, dtype,
+                           leaf_impl: str = "onehot",
+                           batch_tile: int = 128, interpret: bool = False):
+    """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
+
+    Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
+    pend_b tuple, pm [L, B]) → (alpha', pend_a', beta', pend_b', pm')`` —
+    the same contract as ``scanscl._make_super_fn`` (untouched levels pass
+    through at the JAX level without entering the kernel).
+    """
+    flags = np.asarray(flags, bool)
+    touch = super_touch_sets(sel, j, t)
+    a_read, a_write = touch["alpha_read"], touch["alpha_write"]
+    b_read, b_write = touch["beta_read"], touch["beta_write"]
+    needs_llr = touch["needs_llr"]
+    N = sizes[0]
+
+    body_kernel = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                                   algebra=_LOOP_ALGEBRA)
+    super_kernel_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
+                                     body_kernel, algebra=_SUPER_ALGEBRA)
+    # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
+    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
+    super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla)
+
+    # static operand schedule: (kind, level-index) in kernel-ref order
+    in_plan = ([("llr", None)] if needs_llr else []) \
+        + [("alpha", i) for i in a_read] \
+        + [("pend_a", i) for i in range(t)] \
+        + [("beta", i) for i in b_read] \
+        + [("pend_b", i) for i in range(t)] \
+        + [("pm", None)]
+    out_plan = [("alpha", i) for i in a_write] \
+        + [("pend_a", i) for i in range(t)] \
+        + [("beta", i) for i in b_write] \
+        + [("pend_b", i) for i in range(t)] \
+        + [("pm", None)]
+
+    def _shape_dtype(kind, i, B):
+        if kind == "llr":
+            return (N, B), dtype
+        if kind == "alpha":
+            return (Lsz, sizes[i + 1], B), dtype
+        if kind == "beta":
+            return (Lsz, sizes[i + 1], B), jnp.int8
+        if kind == "pm":
+            return (Lsz, B), dtype
+        return (Lsz, Lsz, B), dtype  # pend_a / pend_b
+
+    def _block_spec(kind, i):
+        shape, _ = _shape_dtype(kind, i, batch_tile)
+        nlead = len(shape) - 1
+        return pl.BlockSpec(
+            shape,
+            (lambda b: (0, b)) if nlead == 1 else (lambda b: (0, 0, b)),
+            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        ins, outs = refs[:len(in_plan)], refs[len(in_plan):]
+        vals = {key: r[:] for key, r in zip(in_plan, ins)}
+        alpha = [vals.get(("alpha", i)) for i in range(t)]
+        beta = [vals.get(("beta", i)) for i in range(t)]
+        pend_a = [vals[("pend_a", i)] for i in range(t)]
+        pend_b = [vals[("pend_b", i)] for i in range(t)]
+        llr = vals.get(("llr", None))
+        pm = vals[("pm", None)]
+        alpha2, pend_a2, beta2, pend_b2, pm2 = super_kernel_fn(
+            llr, alpha, pend_a, beta, pend_b, pm)
+        result = {"alpha": alpha2, "pend_a": pend_a2, "beta": beta2,
+                  "pend_b": pend_b2}
+        for (kind, i), r in zip(out_plan, outs):
+            r[:] = pm2 if kind == "pm" else result[kind][i]
+
+    def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
+        B = pm.shape[-1]
+        if B % batch_tile != 0:
+            return super_xla_fn(llr_nb, alpha, pend_a, beta, pend_b, pm)
+        full = {"llr": {None: llr_nb}, "alpha": dict(enumerate(alpha)),
+                "pend_a": dict(enumerate(pend_a)),
+                "beta": dict(enumerate(beta)),
+                "pend_b": dict(enumerate(pend_b)), "pm": {None: pm}}
+        operands = [full[kind][i] for kind, i in in_plan]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // batch_tile,),
+            in_specs=[_block_spec(kind, i) for kind, i in in_plan],
+            out_specs=tuple(_block_spec(kind, i) for kind, i in out_plan),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B))
+                for kind, i in out_plan),
+            interpret=interpret,
+        )(*operands)
+        new = {k: dict(v) for k, v in full.items()}
+        for (kind, i), o in zip(out_plan, outs):
+            new[kind][i] = o
+        return (tuple(new["alpha"][i] for i in range(t)),
+                tuple(new["pend_a"][i] for i in range(t)),
+                tuple(new["beta"][i] for i in range(t)),
+                tuple(new["pend_b"][i] for i in range(t)),
+                new["pm"][None])
+
+    return fn

@@ -241,19 +241,21 @@ def test_scan_chunked_fused_control_exact(N, L, S, rng):
     from polarcode_and_ldpc_tpu.models.polar.scanscl import make_scl_decoder_scan
 
     mask = _mask(N, N // 2 + 2)  # irregular K → distinct triples
-    d_f = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
-                                        dtype=jnp.float64,
-                                        control_impl="fused"))
     d_s = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
                                         dtype=jnp.float64,
                                         control_impl="split"))
     llr = rng.standard_normal((5, N)) * 1.5
     llr[0, :2] = 0.0
-    u_f, pm_f = d_f(llr)
     u_s, pm_s = d_s(llr)
-    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_s))
-    np.testing.assert_allclose(np.asarray(pm_f), np.asarray(pm_s), atol=0)
+    for ctrl in ("fused", "unroll-fused"):
+        d_f = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                            dtype=jnp.float64,
+                                            control_impl=ctrl))
+        u_f, pm_f = d_f(llr)
+        np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_s))
+        np.testing.assert_allclose(np.asarray(pm_f), np.asarray(pm_s),
+                                   atol=0)
     for i in range(len(llr)):
         _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
-        np.testing.assert_allclose(np.asarray(pm_f)[i], ref_m, atol=1e-9)
-        np.testing.assert_array_equal(np.asarray(u_f)[i], ref_paths)
+        np.testing.assert_allclose(np.asarray(pm_s)[i], ref_m, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(u_s)[i], ref_paths)

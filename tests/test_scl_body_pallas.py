@@ -91,3 +91,29 @@ def test_pallas_body_unaligned_batch_falls_back(rng):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_superchunk_kernel_bit_identical(rng):
+    # the whole-chunk-step superkernel (descend + body + composes +
+    # ascend in ONE kernel, ops/scl_superchunk_pallas.py) must equal the
+    # fused XLA control path bit-for-bit — interpret mode on CPU;
+    # hardware equality is probed on TPU (tools/scl_perf_probe.py
+    # --control kernel)
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+
+    N, K, L, S = 128, 64, 4, 32
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((128, N)) * 1.5).astype(np.float32)
+    llr[0, :3] = 0.0  # adversarial zero-LLR ties
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="fused"))
+    d_k = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="kernel-interpret"))
+    u_x, m_x = d_x(llr)
+    u_k, m_k = d_k(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_k))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))

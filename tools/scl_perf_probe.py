@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--body", default="xla")
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
-    ap.add_argument("--control", default="split", choices=["split", "fused"])
+    ap.add_argument("--control", default="split",
+                    choices=["split", "fused", "kernel", "unroll-fused",
+                             "unroll-kernel"])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
