@@ -82,16 +82,18 @@ def _polar_encode_host(msgs, N, info_bits):
 
 
 def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
-                     control_impl: str = "split") -> dict:
+                     control_impl: str = "split", chunk: int = 128) -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
     # batches are affordable.  v5e (2026-08-17): XLA bodies 116.4 Mbps at
-    # batch 8192 / chunk 128, compile ~2.7 min; Pallas fused bodies
-    # (body_impl="pallas") + fused per-chunk control 159.7 Mbps (split
-    # control 152.7 — same-session A/B), compile ~4-8 min — benched as a
-    # staged upgrade after the safe line is out.  Fused control slightly
-    # REGRESSES the XLA bodies (111 vs 116), so the safe line keeps split.
-    # The round-1 unrolled decoder peaked at 23.8 Mbps @ batch 512.
+    # batch 8192 / chunk 128, compile ~2.7 min — the safe line (fused
+    # control REGRESSES XLA bodies, 111 vs 116, so it keeps split).  The
+    # best known config is control_impl="unroll-kernel" (whole chunk steps
+    # as straight-line Pallas superkernels incl. the fused last chunk) at
+    # chunk 64: 207.5 Mbps, compile ~4.5-8 min over the tunnel — benched
+    # as a staged upgrade after the safe line is out (chunk sweep, same
+    # session: 32→171.4, 64→207.5, 128→175.1, 256→201.7 Mbps).  The
+    # round-1 unrolled decoder peaked at 23.8 Mbps @ batch 512.
     import jax
 
     import jax.numpy as jnp
@@ -117,7 +119,7 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
     _log(f"polar: compiling SCL-8 N=1024 (scan-chunked/{body_impl}/"
          f"{control_impl}, batch {batch}) ...")
     decode = jax.jit(make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
-                                      body_impl=body_impl,
+                                      body_impl=body_impl, chunk=chunk,
                                       control_impl=control_impl))
     t_first = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(decode(llr))
@@ -203,12 +205,12 @@ def main() -> None:
         ldpc_mfu_estimate=round(ldpc["roofline"]["mfu_vs_bf16_peak"], 6),
     )
     print(json.dumps(result), flush=True)
-    # staged upgrade: the Pallas fused bodies are ~30% faster but compile
-    # ~4-8 min over the tunnel; attempt them LAST so a stall/kill can only
-    # lose the upgrade, never the safe lines above (the driver reads the
-    # last complete line)
+    # staged upgrade: whole-chunk-step Pallas superkernels (unroll-kernel,
+    # chunk 64) are ~1.8x the safe line but compile ~4.5-8 min over the
+    # tunnel; attempt them LAST so a stall/kill can only lose the upgrade,
+    # never the safe lines above (the driver reads the last complete line)
     try:
-        polar_p = bench_polar_scl8(body_impl="pallas", control_impl="fused")
+        polar_p = bench_polar_scl8(control_impl="unroll-kernel", chunk=64)
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"polar pallas upgrade failed (keeping xla line): {e!r}")
         return
@@ -220,8 +222,9 @@ def main() -> None:
             mfu_estimate=round(polar_p["roofline"]["mfu_vs_bf16_peak"], 6),
             alg_gops_per_s=round(
                 polar_p["roofline"]["algorithmic_ops_per_s"] / 1e9, 2),
-            scl_body="pallas",
-            scl_control="fused",
+            scl_body="in-kernel",
+            scl_control="unroll-kernel",
+            scl_chunk=64,
             xla_body_mbps=round(polar["mbps"], 3),
         )
         print(json.dumps(result))

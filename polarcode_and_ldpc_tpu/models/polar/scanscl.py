@@ -372,6 +372,42 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
     return fn
 
 
+def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None):
+    """The LAST chunk (c = C−1 = 0b11…1) as a pure function: descend is a
+    single g at level t (ctz(C−1) = 0), then ascend through every level to
+    the root — no parking, the chunk's R composes into each level's
+    pending on the way up.
+
+    ``fn(llr_nb, alpha, pend_a, beta, pend_b, pm) → (root_beta [L, N, B]
+    int8 bit-reversed storage, pm)``.  Same algebra-parameterization deal
+    as ``_make_super_fn`` (XLA broadcast forms vs in-kernel static loops,
+    bit-exact either way)."""
+    if algebra is None:
+        algebra = _BROADCAST_ALGEBRA
+    apply_perm = algebra["apply_perm"]
+    apply_perm_bits = algebra["apply_perm_bits"]
+    compose = algebra["compose"]
+    broadcast_rows = algebra["broadcast_rows"]
+
+    def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
+        M = sizes[t]
+        parent = (llr_nb[None] if t == 1
+                  else apply_perm(pend_a[t - 2], alpha[t - 2]))
+        left = apply_perm(pend_b[t - 1], beta[t - 1].astype(dtype))
+        first = broadcast_rows(parent[:, :M, :], Lsz)
+        second = broadcast_rows(parent[:, M:, :], Lsz)
+        alpha_t = second + (1.0 - 2.0 * left) * first  # g
+        beta_c, pm, R = body_fn(alpha_t, pm)
+        cur = beta_c
+        for l in range(t, 0, -1):
+            left_bits = apply_perm_bits(compose(R, pend_b[l - 1]),
+                                        beta[l - 1])
+            cur = jnp.concatenate([left_bits ^ cur, cur], axis=1)
+        return cur, pm
+
+    return fn
+
+
 def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           chunk: int = 128, dtype=jnp.float32,
                           leaf_impl: str = "onehot",
@@ -679,24 +715,21 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             carry, _ = lax.scan(chunk_step, carry, xs)
 
         # ---- last chunk (c = C−1 = 0b11…1): straight-line, static flags ---
-        # descend: only level t changes (ctz(C−1) = 0), direction g
-        alpha = list(carry["alpha"])
-        pend_a = list(carry["pend_a"])
-        beta = list(carry["beta"])
-        pend_b = list(carry["pend_b"])
-        pm = carry["pm"]
-        M = sizes[t]
-        parent = (llr_nb[None] if t == 1
-                  else _apply_perm(pend_a[t - 2], alpha[t - 2]))
-        first, second = parent[:, :M, :], parent[:, M:, :]
-        left_bits = _apply_perm(pend_b[t - 1], beta[t - 1].astype(dtype))
-        alpha_t = second + (1.0 - 2.0 * left_bits) * first
-        beta_c, pm, R = bodies[pattern_ids[C - 1]](alpha_t, pm)
-        # ascend through every level to the root
-        cur = beta_c
-        for l in range(t, 0, -1):
-            left = _apply_perm_bits(_compose(R, pend_b[l - 1]), beta[l - 1])
-            cur = jnp.concatenate([left ^ cur, cur], axis=1)
+        # descend is a single g at level t (ctz(C−1) = 0); ascend runs to
+        # the root.  Kernel control modes fuse the whole step into one
+        # Pallas kernel like the in-scan chunks.
+        if control_impl in ("kernel", "kernel-interpret", "unroll-kernel"):
+            from ...ops.scl_superchunk_pallas import make_last_superchunk_pallas
+
+            last_fn = make_last_superchunk_pallas(
+                unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
+                leaf_impl=leaf_impl,
+                interpret=control_impl == "kernel-interpret")
+        else:
+            last_fn = _make_last_fn(t, sizes, Lsz, dtype,
+                                    bodies[pattern_ids[C - 1]])
+        cur, pm = last_fn(llr_nb, carry["alpha"], carry["pend_a"],
+                          carry["beta"], carry["pend_b"], carry["pm"])
         # root beta is the re-encoded codeword in bit-reversed storage;
         # un-permute, then u = β·G_N (the transform is an involution)
         return _finish(cur, pm)

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.polar.scanscl import (
     _make_chunk_body,
+    _make_last_fn,
     _make_super_fn,
     super_touch_sets,
 )
@@ -152,5 +153,84 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                 tuple(new["beta"][i] for i in range(t)),
                 tuple(new["pend_b"][i] for i in range(t)),
                 new["pm"][None])
+
+    return fn
+
+
+def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
+                                dtype, leaf_impl: str = "onehot",
+                                batch_tile: int = 128,
+                                interpret: bool = False):
+    """Fused LAST chunk (``scanscl._make_last_fn``): one kernel produces
+    the full root beta plane ``[L, N, B] int8`` + final metrics."""
+    flags = np.asarray(flags, bool)
+    N = sizes[0]
+    body_kernel = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                                   algebra=_LOOP_ALGEBRA)
+    last_kernel_fn = _make_last_fn(t, sizes, Lsz, dtype, body_kernel,
+                                   algebra=_SUPER_ALGEBRA)
+    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
+    last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla)
+
+    needs_llr = t == 1
+    in_plan = ([("llr", None)] if needs_llr else [("alpha", t - 2)]) \
+        + ([("pend_a", t - 2)] if t >= 2 else []) \
+        + [("beta", i) for i in range(t)] \
+        + [("pend_b", i) for i in range(t)] \
+        + [("pm", None)]
+    out_plan = [("root", None), ("pm", None)]
+
+    def _shape_dtype(kind, i, B):
+        if kind == "llr":
+            return (N, B), dtype
+        if kind == "root":
+            return (Lsz, N, B), jnp.int8
+        if kind == "alpha":
+            return (Lsz, sizes[i + 1], B), dtype
+        if kind == "beta":
+            return (Lsz, sizes[i + 1], B), jnp.int8
+        if kind == "pm":
+            return (Lsz, B), dtype
+        return (Lsz, Lsz, B), dtype
+
+    def _block_spec(kind, i):
+        shape, _ = _shape_dtype(kind, i, batch_tile)
+        nlead = len(shape) - 1
+        return pl.BlockSpec(
+            shape,
+            (lambda b: (0, b)) if nlead == 1 else (lambda b: (0, 0, b)),
+            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        ins, outs = refs[:len(in_plan)], refs[len(in_plan):]
+        vals = {key: r[:] for key, r in zip(in_plan, ins)}
+        alpha = [vals.get(("alpha", i)) for i in range(t)]
+        beta = [vals[("beta", i)] for i in range(t)]
+        pend_a = [vals.get(("pend_a", i)) for i in range(t)]
+        pend_b = [vals[("pend_b", i)] for i in range(t)]
+        root, pm2 = last_kernel_fn(vals.get(("llr", None)), alpha, pend_a,
+                                   beta, pend_b, vals[("pm", None)])
+        outs[0][:] = root
+        outs[1][:] = pm2
+
+    def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
+        B = pm.shape[-1]
+        if B % batch_tile != 0:
+            return last_xla_fn(llr_nb, alpha, pend_a, beta, pend_b, pm)
+        full = {"llr": {None: llr_nb}, "alpha": dict(enumerate(alpha)),
+                "pend_a": dict(enumerate(pend_a)),
+                "beta": dict(enumerate(beta)),
+                "pend_b": dict(enumerate(pend_b)), "pm": {None: pm}}
+        operands = [full[kind][i] for kind, i in in_plan]
+        return pl.pallas_call(
+            kernel,
+            grid=(B // batch_tile,),
+            in_specs=[_block_spec(kind, i) for kind, i in in_plan],
+            out_specs=tuple(_block_spec(kind, i) for kind, i in out_plan),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B))
+                for kind, i in out_plan),
+            interpret=interpret,
+        )(*operands)
 
     return fn

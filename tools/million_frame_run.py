@@ -39,9 +39,13 @@ def main() -> None:
     ap.add_argument("--scl-body", default="xla", choices=["xla", "pallas"],
                     help="SCL chunk-body implementation for the polar run")
     ap.add_argument("--scl-control", default="split",
-                    choices=["split", "fused"],
+                    choices=["split", "fused", "kernel", "unroll-kernel"],
                     help="per-chunk control dispatch (fused wins with "
-                    "pallas bodies, regresses xla ones)")
+                    "pallas bodies, regresses xla ones; unroll-kernel "
+                    "fuses each whole chunk step into one Pallas kernel)")
+    ap.add_argument("--scl-chunk", type=int, default=128,
+                    help="SCL decoder subtree chunk size (64 is the "
+                    "measured flagship optimum for unroll-kernel)")
     ap.add_argument("--chunks-per-dispatch", type=int, default=1,
                     help="device chunks per host dispatch (amortizes the "
                     "remote-tunnel round-trip)")
@@ -73,6 +77,7 @@ def main() -> None:
         frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
         step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
                                    list_size=L, scl_body_impl=args.scl_body,
+                                   scl_chunk=args.scl_chunk,
                                    scl_control_impl=args.scl_control)
         sim = MonteCarloSimulator(step, K - 8, chunk_frames=args.polar_chunk,
                                   chunks_per_dispatch=args.chunks_per_dispatch)
@@ -89,6 +94,7 @@ def main() -> None:
         d["wall_seconds_post_warmup"] = wall
         d["scl_body"] = args.scl_body
         d["scl_control"] = args.scl_control
+        d["scl_chunk"] = args.scl_chunk
         d["chunks_per_dispatch"] = args.chunks_per_dispatch
         out["polar_cascl8_n1024_1db_1M"] = d
         _log(f"polar: {d['throughput_mbps']:.1f} Mbps end-to-end, "
