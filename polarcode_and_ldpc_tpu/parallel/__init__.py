@@ -6,17 +6,23 @@ The reference has no parallelism at all (single Python process,
 """
 
 from .mesh import (
+    CODE_AXIS,
     FRAME_AXIS,
+    code_sharded_decode,
     default_mesh,
     frame_sharding,
+    mesh_2d,
     multihost_mesh,
     pad_to_multiple,
     replicated_sharding,
 )
 
 __all__ = [
+    "CODE_AXIS",
     "FRAME_AXIS",
+    "code_sharded_decode",
     "default_mesh",
+    "mesh_2d",
     "multihost_mesh",
     "frame_sharding",
     "replicated_sharding",

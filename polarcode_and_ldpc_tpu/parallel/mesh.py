@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 FRAME_AXIS = "frames"
+CODE_AXIS = "code"
 
 
 def default_mesh(devices: Optional[Sequence] = None, axis_name: str = FRAME_AXIS) -> Mesh:
@@ -40,6 +41,40 @@ def frame_sharding(mesh: Mesh, axis_name: str = FRAME_AXIS) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def mesh_2d(frame_devices: int, code_devices: int,
+            devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ``(frames, code)`` mesh: data parallelism over Monte-Carlo
+    frames × model parallelism over the code dimension.
+
+    The code axis shards the codeword (n) axis of large codes — for
+    quasi-cyclic LDPC the per-block lane rotations on a sharded z axis
+    lower to XLA collective-permutes that ride ICI (SURVEY §2.6 stretch:
+    "sharding the n=8192 LDPC edge set ... across chips").
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    assert frame_devices * code_devices == len(devices), (
+        f"mesh {frame_devices}x{code_devices} != {len(devices)} devices")
+    grid = np.asarray(devices).reshape(frame_devices, code_devices)
+    return Mesh(grid, (FRAME_AXIS, CODE_AXIS))
+
+
+def code_sharded_decode(decode, mesh: Mesh, frame_axis: str = FRAME_AXIS,
+                        code_axis: str = CODE_AXIS):
+    """Jit ``decode(llr [B, n]) → (bits [B, n], iters [B])`` with the batch
+    sharded over ``frame_axis`` and the codeword axis over ``code_axis``.
+
+    XLA's SPMD partitioner inserts the cross-shard communication (the QC
+    decoder's ``jnp.roll`` lane rotations become collective-permutes; the
+    per-frame syndrome all-reduce becomes a psum over the code axis).
+    Outputs are bit-identical to the unsharded decoder — the partitioner
+    only changes data placement, never arithmetic order.
+    """
+    in_s = NamedSharding(mesh, P(frame_axis, code_axis))
+    out_s = (NamedSharding(mesh, P(frame_axis, code_axis)),
+             NamedSharding(mesh, P(frame_axis)))
+    return jax.jit(decode, in_shardings=in_s, out_shardings=out_s)
 
 
 def pad_to_multiple(n: int, multiple: int) -> int:

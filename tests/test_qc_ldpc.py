@@ -98,3 +98,40 @@ def test_qc_pipeline_end_to_end():
     assert res.frames == 128
     assert 0 < res.avg_iterations <= 20
     assert res.ber < 0.05
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (8, 1)])
+def test_qc_bp_code_sharded_bit_identical(mesh_shape):
+    # model parallelism (SURVEY §2.6 stretch): the codeword axis shards
+    # over a 2-D (frames, code) mesh; GSPMD turns the z-lane rotations
+    # into collective-permutes.  Placement must never change results —
+    # every mesh shape decodes bit-identically to one device.
+    import jax
+
+    from polarcode_and_ldpc_tpu.models.ldpc.qc import make_qc_bp_decoder
+    from polarcode_and_ldpc_tpu.parallel import code_sharded_decode, mesh_2d
+
+    n, k, z = 384, 192, 32  # nb=12: n divisible by every code-axis size
+    base = qc_base_matrix(n, k, z, dv=3, dc=6, seed=5)
+    dec = make_qc_bp_decoder(base, z, max_iter=12, early_stop=True)
+    llr = _llr(n, scale=1.0, seed=3)  # noisy: non-trivial iteration counts
+    bits_ref, iters_ref = jax.jit(dec)(llr)
+    sharded = code_sharded_decode(dec, mesh_2d(*mesh_shape))
+    bits, iters = sharded(llr)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits_ref))
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(iters_ref))
+
+
+def test_qc_bp_code_sharded_inserts_collectives():
+    # the point of the 2-D mesh is communication over ICI, not all-gather
+    # back to one chip: the partitioned HLO must contain collective
+    # permutes (the sharded-lane rotations)
+    from polarcode_and_ldpc_tpu.models.ldpc.qc import make_qc_bp_decoder
+    from polarcode_and_ldpc_tpu.parallel import code_sharded_decode, mesh_2d
+
+    n, k, z = 384, 192, 32
+    base = qc_base_matrix(n, k, z, dv=3, dc=6, seed=5)
+    dec = make_qc_bp_decoder(base, z, max_iter=4, early_stop=False)
+    txt = code_sharded_decode(dec, mesh_2d(1, 8)).lower(
+        np.zeros((8, n), np.float32)).compile().as_text()
+    assert "collective-permute" in txt
