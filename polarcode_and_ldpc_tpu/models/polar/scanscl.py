@@ -412,7 +412,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           chunk: int = 128, dtype=jnp.float32,
                           leaf_impl: str = "onehot",
                           body_impl: str = "xla",
-                          control_impl: str = "split"):
+                          control_impl: str = "split",
+                          batch_tile: int = 128):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -652,7 +653,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                     sel, pid, j = tr
                     fn = make_superchunk_pallas(
                         sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
-                        leaf_impl=leaf_impl,
+                        leaf_impl=leaf_impl, batch_tile=batch_tile,
                         interpret=control_impl == "kernel-interpret")
 
                     def branch(carry):
@@ -723,7 +724,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
             last_fn = make_last_superchunk_pallas(
                 unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
-                leaf_impl=leaf_impl,
+                leaf_impl=leaf_impl, batch_tile=batch_tile,
                 interpret=control_impl == "kernel-interpret")
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,

@@ -62,7 +62,8 @@ def select_best_path(info_paths, metrics, crc=None):
 def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
                      chunk: int = 128, body_impl: str = "xla",
-                     leaf_impl: str = "onehot", control_impl: str = "split"):
+                     leaf_impl: str = "onehot", control_impl: str = "split",
+                     batch_tile: int = 128):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -90,7 +91,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
 
         return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype,
                                      leaf_impl=leaf_impl, body_impl=body_impl,
-                                     control_impl=control_impl)
+                                     control_impl=control_impl,
+                                     batch_tile=batch_tile)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size

@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--control", default="split",
                     choices=["split", "fused", "kernel", "unroll-fused",
                              "unroll-kernel"])
+    ap.add_argument("--batch-tile", type=int, default=128,
+                    help="Pallas superkernel batch tile (kernel modes)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -73,7 +75,8 @@ def main() -> None:
     dec = jax.jit(make_scl_decoder(N, fm, L, impl=args.impl,
                                    chunk=args.chunk, body_impl=args.body,
                                    leaf_impl=args.leaf,
-                                   control_impl=args.control))
+                                   control_impl=args.control,
+                                   batch_tile=args.batch_tile))
     t0 = time.perf_counter()
     out = dec(llr_dev)
     _force(out)
