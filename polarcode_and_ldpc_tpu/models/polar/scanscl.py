@@ -647,14 +647,27 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
                     return branch
             else:  # whole chunk step fused into ONE Pallas kernel
-                from ...ops.scl_superchunk_pallas import make_superchunk_pallas
+                from ...ops.scl_superchunk_pallas import (
+                    VMEM_OPERAND_BUDGET,
+                    make_superchunk_pallas,
+                    super_vmem_bytes,
+                )
 
                 def _super_branch(tr):
                     sel, pid, j = tr
-                    fn = make_superchunk_pallas(
-                        sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
-                        leaf_impl=leaf_impl, batch_tile=batch_tile,
-                        interpret=control_impl == "kernel-interpret")
+                    # hybrid control: variants whose operand footprint
+                    # exceeds the VMEM budget (tall ascends at large N·L)
+                    # run the bit-identical fused-XLA program instead
+                    if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
+                                         batch_tile)
+                            > VMEM_OPERAND_BUDGET):
+                        fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
+                                            bodies[pid])
+                    else:
+                        fn = make_superchunk_pallas(
+                            sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
+                            leaf_impl=leaf_impl, batch_tile=batch_tile,
+                            interpret=control_impl == "kernel-interpret")
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -720,12 +733,21 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # the root.  Kernel control modes fuse the whole step into one
         # Pallas kernel like the in-scan chunks.
         if control_impl in ("kernel", "kernel-interpret", "unroll-kernel"):
-            from ...ops.scl_superchunk_pallas import make_last_superchunk_pallas
+            from ...ops.scl_superchunk_pallas import (
+                VMEM_OPERAND_BUDGET,
+                last_vmem_bytes,
+                make_last_superchunk_pallas,
+            )
 
-            last_fn = make_last_superchunk_pallas(
-                unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
-                leaf_impl=leaf_impl, batch_tile=batch_tile,
-                interpret=control_impl == "kernel-interpret")
+            if (last_vmem_bytes(t, sizes, Lsz, dtype, batch_tile)
+                    > VMEM_OPERAND_BUDGET):  # hybrid fallback (large N·L)
+                last_fn = _make_last_fn(t, sizes, Lsz, dtype,
+                                        bodies[pattern_ids[C - 1]])
+            else:
+                last_fn = make_last_superchunk_pallas(
+                    unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
+                    leaf_impl=leaf_impl, batch_tile=batch_tile,
+                    interpret=control_impl == "kernel-interpret")
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,
                                     bodies[pattern_ids[C - 1]])

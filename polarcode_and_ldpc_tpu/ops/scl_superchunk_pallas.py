@@ -38,6 +38,46 @@ from ..models.polar.scanscl import (
 )
 from .scl_body_pallas import _LOOP_ALGEBRA
 
+#: operand-sum budget for one superkernel invocation (v5e VMEM ≈ 16 MB per
+#: core; leave ~half for in-kernel temporaries — broadcast parents, one-hot
+#: products).  Variants whose declared I/O exceeds this fall back to the
+#: bit-identical fused-XLA branch (hybrid control), which makes the kernel
+#: control modes safe at any (N, L): large codes keep kernels for the
+#: frequent deep-level chunk steps and run the rare tall ascends in XLA.
+VMEM_OPERAND_BUDGET = 8 * 1024 * 1024
+
+
+def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
+                     batch_tile: int = 128) -> int:
+    """Declared operand bytes (inputs + outputs) of one chunk-step
+    superkernel variant at the given batch tile."""
+    touch = super_touch_sets(sel, j, t)
+    fsz = jnp.dtype(dtype).itemsize
+    total = sizes[0] * batch_tile * fsz if touch["needs_llr"] else 0
+    for i in touch["alpha_read"] + touch["alpha_write"]:
+        total += Lsz * sizes[i + 1] * batch_tile * fsz
+    for i in touch["beta_read"] + touch["beta_write"]:
+        total += Lsz * sizes[i + 1] * batch_tile  # int8
+    total += 4 * t * Lsz * Lsz * batch_tile * fsz  # pend_a/pend_b in+out
+    total += 2 * Lsz * batch_tile * fsz  # pm in+out
+    return total
+
+
+def last_vmem_bytes(t: int, sizes, Lsz: int, dtype,
+                    batch_tile: int = 128) -> int:
+    """Declared operand bytes of the fused last-chunk kernel."""
+    fsz = jnp.dtype(dtype).itemsize
+    N = sizes[0]
+    total = N * batch_tile * fsz if t == 1 else (
+        Lsz * sizes[t - 1] * batch_tile * fsz  # alpha[t-2]
+        + Lsz * Lsz * batch_tile * fsz)        # pend_a[t-2]
+    for i in range(t):
+        total += Lsz * sizes[i + 1] * batch_tile          # beta int8
+        total += Lsz * Lsz * batch_tile * fsz             # pend_b
+    total += Lsz * N * batch_tile                         # root int8 out
+    total += 2 * Lsz * batch_tile * fsz                   # pm in+out
+    return total
+
 
 def _broadcast_rows_concat(x, L):
     """Explicit row replication — Mosaic rejects leading-dim replicated

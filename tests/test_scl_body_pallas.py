@@ -117,3 +117,30 @@ def test_superchunk_kernel_bit_identical(rng):
     u_k, m_k = d_k(llr)
     np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_k))
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))
+
+
+def test_superchunk_hybrid_vmem_gate(rng, monkeypatch):
+    # kernel control modes gate each variant on its declared VMEM
+    # footprint and fall back to the bit-identical fused-XLA program —
+    # forcing the budget to 0 must route EVERY chunk step through the
+    # fallback and still decode bit-exactly (large-N·L safety property)
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar import scanscl
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+    from polarcode_and_ldpc_tpu.ops import scl_superchunk_pallas as sp
+
+    N, K, L, S = 128, 64, 4, 32
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((64, N)) * 1.5).astype(np.float32)
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="fused"))
+    u_x, m_x = d_x(llr)
+    monkeypatch.setattr(sp, "VMEM_OPERAND_BUDGET", 0)
+    d_g = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="kernel-interpret"))
+    u_g, m_g = d_g(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_g))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_g))
