@@ -435,7 +435,14 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     * ``"unroll-fused"`` / ``"unroll-kernel"`` — no scan, no switch: a
       straight-line chunk program (compile O(chunks) instead of O(unique
       triples); the switch barriers, not their contents, were measured as
-      the dominant decode floor).
+      the dominant decode floor);
+    * ``"mega"`` — the ENTIRE decode as one Pallas kernel
+      (``ops/scl_mega_pallas.py``): the level stacks are pure dataflow in
+      VMEM, per-tile HBM I/O collapses to llr-in → root β/pm-out.
+      Configs whose live state exceeds the VMEM budget degrade to
+      ``"unroll-kernel"`` (hybrid per-chunk kernels); unaligned batches
+      take the bit-identical straight-line XLA program.
+      ``"mega-interpret"`` is the CPU-testable interpret-mode twin.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -527,7 +534,29 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     # the LAST chunk runs as straight-line code outside the scan (static
     # schedule) so the [L, N, B] root assembly never lives in the scan carry
     assert control_impl in ("split", "fused", "kernel", "kernel-interpret",
-                            "unroll-fused", "unroll-kernel"), control_impl
+                            "unroll-fused", "unroll-kernel",
+                            "mega", "mega-interpret"), control_impl
+    mega_core = None
+    if control_impl in ("mega", "mega-interpret"):
+        from ...ops.scl_mega_pallas import (
+            MEGA_VMEM_BUDGET,
+            make_scl_mega_pallas,
+            mega_vmem_bytes,
+        )
+
+        if (control_impl == "mega"
+                and mega_vmem_bytes(t, sizes, Lsz, dtype, batch_tile)
+                > MEGA_VMEM_BUDGET):
+            # live state would not fit one core's VMEM: degrade to the
+            # hybrid per-chunk kernels (bit-identical outputs)
+            control_impl = "unroll-kernel"
+        else:
+            mega_core = make_scl_mega_pallas(
+                chunk_flags_np, desc_k, asc_j, t, sizes, Lsz, dtype,
+                leaf_impl=leaf_impl, batch_tile=batch_tile,
+                interpret=control_impl == "mega-interpret")
+            # unaligned batches fall back to the straight-line XLA program
+            control_impl = "unroll-fused"
     if control_impl != "split":
         # one switch per chunk over the unique (descend, pattern, ascend)
         # triples that actually occur in the schedule
@@ -553,6 +582,9 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         batch = llr.shape[0]
         # bit-reversed storage, batch-last: [N, B]
         llr_nb = jnp.transpose(llr[:, rev_j], (1, 0))
+        if mega_core is not None and batch % batch_tile == 0:
+            cur, pm = mega_core(llr_nb)
+            return _finish(cur, pm)
         eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
                                (Lsz, Lsz, batch))
         carry = dict(

@@ -144,3 +144,76 @@ def test_superchunk_hybrid_vmem_gate(rng, monkeypatch):
     u_g, m_g = d_g(llr)
     np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_g))
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_g))
+
+
+def test_mega_kernel_bit_identical(rng):
+    # the whole-decode megakernel (ops/scl_mega_pallas.py): ENTIRE chunk
+    # program in one Pallas kernel, level stacks as VMEM dataflow — must
+    # equal the fused XLA control path bit-for-bit (interpret mode on CPU;
+    # hardware equality probed on TPU via tools/scl_perf_probe.py
+    # --control mega)
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+
+    N, K, L, S = 128, 64, 4, 32
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((128, N)) * 1.5).astype(np.float32)
+    llr[0, :3] = 0.0  # adversarial zero-LLR ties
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="fused"))
+    d_m = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="mega-interpret"))
+    u_x, m_x = d_x(llr)
+    u_m, m_m = d_m(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_m))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_m))
+
+
+def test_mega_kernel_unaligned_batch_falls_back(rng):
+    # batches that don't fill the 128-lane tile must route through the
+    # bit-identical straight-line XLA program
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+
+    N, K, L, S = 128, 64, 4, 32
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((48, N)) * 1.5).astype(np.float32)
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="fused"))
+    d_m = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="mega-interpret"))
+    u_x, m_x = d_x(llr)
+    u_m, m_m = d_m(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_m))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_m))
+
+
+def test_mega_vmem_gate_degrades_to_hybrid(rng, monkeypatch):
+    # a mega config whose live state exceeds the VMEM budget must degrade
+    # to the hybrid per-chunk kernel mode and still decode bit-exactly
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+    from polarcode_and_ldpc_tpu.ops import scl_mega_pallas as mp
+    from polarcode_and_ldpc_tpu.ops import scl_superchunk_pallas as sp
+
+    N, K, L, S = 128, 64, 4, 32
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((64, N)) * 1.5).astype(np.float32)
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="fused"))
+    u_x, m_x = d_x(llr)
+    monkeypatch.setattr(mp, "MEGA_VMEM_BUDGET", 0)
+    # over-budget "mega" becomes "unroll-kernel"; force its per-variant
+    # gate to 0 too so the degraded path runs fully on CPU-safe XLA
+    monkeypatch.setattr(sp, "VMEM_OPERAND_BUDGET", 0)
+    d_g = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="mega"))
+    u_g, m_g = d_g(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_g))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_g))

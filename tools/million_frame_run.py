@@ -39,7 +39,8 @@ def main() -> None:
     ap.add_argument("--scl-body", default="xla", choices=["xla", "pallas"],
                     help="SCL chunk-body implementation for the polar run")
     ap.add_argument("--scl-control", default="split",
-                    choices=["split", "fused", "kernel", "unroll-kernel"],
+                    choices=["split", "fused", "kernel", "unroll-kernel",
+                             "mega"],
                     help="per-chunk control dispatch (fused wins with "
                     "pallas bodies, regresses xla ones; unroll-kernel "
                     "fuses each whole chunk step into one Pallas kernel)")

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
     ap.add_argument("--control", default="split",
                     choices=["split", "fused", "kernel", "unroll-fused",
-                             "unroll-kernel"])
+                             "unroll-kernel", "mega"])
     ap.add_argument("--batch-tile", type=int, default=128,
                     help="Pallas superkernel batch tile (kernel modes)")
     ap.add_argument("--iters", type=int, default=5)
