@@ -45,7 +45,8 @@ class AdaptiveCASCLDecoder:
     def __init__(self, N: int, K: int, list_size: int = 8,
                  frozen_bits: Optional[np.ndarray] = None,
                  crc_polynomial: str = "CRC-8",
-                 fallback_batch: int = 128, dtype=jnp.float32):
+                 fallback_batch: int = 128, dtype=jnp.float32,
+                 sc_impl: str = "unrolled"):
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N
         self.N, self.K, self.L = N, K, list_size
@@ -63,7 +64,9 @@ class AdaptiveCASCLDecoder:
         self.fallback_batch = fallback_batch
         self.dtype = dtype
 
-        sc = make_sc_decoder(N, mask, dtype)
+        # sc_impl="mega" (whole-decode Pallas kernel) lifts the SC pass
+        # ~1.5x on TPU; the default stays portable (CPU tests)
+        sc = make_sc_decoder(N, mask, dtype, impl=sc_impl)
 
         def sc_pass(llr):
             info = sc(llr)[..., self._info_idx]

@@ -35,14 +35,22 @@ def make_sc_decoder(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
     natural order; callers extract info positions).
 
     ``impl``: ``"unrolled"`` (default — O(N log N) recursive fast path with
-    exact rate-0/rate-1/REP/SPC node shortcuts, see ``fastsc.py``) or
-    ``"scan"`` (the reference-trellis ``lax.scan`` formulation below).
-    Both are bit-identical to the reference and to each other.
+    exact rate-0/rate-1/REP/SPC node shortcuts, see ``fastsc.py``),
+    ``"mega"`` (the same recursion fused into ONE Pallas kernel per batch
+    tile, ``ops/sc_mega_pallas.py``; ``"mega-interpret"`` is its
+    CPU-testable twin), or ``"scan"`` (the reference-trellis ``lax.scan``
+    formulation below).  All are bit-identical to the reference and to
+    each other (fast rate-1/SPC shortcuts exact on continuous channels).
     """
     if impl == "unrolled":
         from .fastsc import make_sc_decoder_unrolled
 
         return make_sc_decoder_unrolled(N, frozen_mask, dtype)
+    if impl in ("mega", "mega-interpret"):
+        from ...ops.sc_mega_pallas import make_sc_decoder_mega
+
+        return make_sc_decoder_mega(N, frozen_mask, dtype,
+                                    interpret=impl == "mega-interpret")
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n = sched.n

@@ -52,12 +52,19 @@ def measure_polar_throughput(
     decoder: str = "sc",
     list_size: int = 8,
     seed: int = 42,
+    sc_impl: str = "unrolled",
 ) -> dict:
     """Encode / decode / end-to-end Mbps (reference
-    ``throughput_test.py:185-266``)."""
+    ``throughput_test.py:185-266``).
+
+    ``sc_impl``: SC decoder implementation — ``"mega"`` (whole-decode
+    Pallas kernel, TPU) measured 1408 vs 947 Mbps for ``"unrolled"``
+    at N=1024 batch 16384 on v5e.
+    """
     frozen, _ = construct_polar_code(N, K, "bhattacharyya", 2.0)
     enc = PolarEncoder(N, K, frozen_bits=frozen)
-    dec = (SCDecoder(N, K, frozen_bits=frozen) if decoder == "sc"
+    dec = (SCDecoder(N, K, frozen_bits=frozen, impl=sc_impl)
+           if decoder == "sc"
            else SCLDecoder(N, K, list_size=list_size, frozen_bits=frozen))
     chan = AWGNChannel(snr_db=snr_db, seed=seed)
     msgs = jnp.asarray(

@@ -259,3 +259,34 @@ def test_scan_chunked_fused_control_exact(N, L, S, rng):
         _, ref_m, ref_paths = scl_decode_np(llr[i], mask, L)
         np.testing.assert_allclose(np.asarray(pm_s)[i], ref_m, atol=1e-9)
         np.testing.assert_array_equal(np.asarray(u_s)[i], ref_paths)
+
+
+def test_sc_mega_kernel_bit_identical(rng):
+    # whole-decode SC Pallas kernel (ops/sc_mega_pallas.py): the entire
+    # recursion in one kernel, batch-last bit-reversed layout — must equal
+    # the unrolled XLA fast path bit-for-bit on continuous noise
+    # (interpret mode on CPU; hardware equality probed on TPU)
+    from polarcode_and_ldpc_tpu.models.polar.sc import make_sc_decoder
+
+    for N, K in [(64, 32), (256, 128)]:
+        fm = frozen_mask_from_positions(
+            N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+        llr = (rng.standard_normal((256, N)) * 2).astype(np.float32)
+        u1 = np.asarray(jax.jit(make_sc_decoder(N, fm))(llr))
+        u2 = np.asarray(jax.jit(make_sc_decoder(
+            N, fm, impl="mega-interpret"))(llr))
+        np.testing.assert_array_equal(u1, u2)
+
+
+def test_sc_mega_unaligned_batch_falls_back(rng):
+    # batches that don't fill the lane tile run the identical XLA twin
+    from polarcode_and_ldpc_tpu.models.polar.sc import make_sc_decoder
+
+    N, K = 128, 64
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((50, N)) * 2).astype(np.float32)
+    u1 = np.asarray(jax.jit(make_sc_decoder(N, fm))(llr))
+    u2 = np.asarray(jax.jit(make_sc_decoder(
+        N, fm, impl="mega-interpret"))(llr))
+    np.testing.assert_array_equal(u1, u2)
