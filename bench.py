@@ -12,9 +12,10 @@ Prints ONE JSON line to stdout:
 tunnel stall in the secondary benchmark cannot lose it).
 
 Staged structure (the driver reads the LAST complete line): a safe
-XLA-bodied polar line lands within ~3 min, the LDPC fields within ~4, and
-only then is the Pallas-bodied polar decode (+30% but ~4-8 min compile
-over the tunnel) attempted as a final upgrade line.
+XLA-bodied polar line lands within ~3 min, the LDPC fields within ~4, the
+SC mega-kernel fields (~4 s compile) right after, and only then is the
+superkernel polar decode (~1.8x but ~4-8 min compile over the tunnel)
+attempted as a final upgrade line.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import numpy as np
 
 BASELINE_SCL8_N1024_MBPS = 5e-4    # BASELINE.md "Derived: SCL-8 N=1024 decode"
 BASELINE_BP_N504_MBPS = 7.95e-5    # BASELINE.md "LDPC BP decode throughput"
+BASELINE_SC_N1024_MBPS = 0.00398   # BASELINE.md "Polar SC decode"
 
 
 def _log(msg: str) -> None:
@@ -173,6 +175,37 @@ def bench_ldpc_bp(batch: int = 4096) -> dict:
             "ber_3db": ber, "roofline": roof}
 
 
+def bench_sc_mega(batch: int = 16384) -> dict:
+    # whole-decode SC Pallas kernel (ops/sc_mega_pallas.py): ~4 s compile,
+    # 1408 Mbps measured on v5e (vs 947 for the unrolled XLA fast path)
+    import jax
+    import jax.numpy as jnp
+
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.construction import (
+        frozen_mask_from_positions,
+    )
+    from polarcode_and_ldpc_tpu.models.polar.sc import make_sc_decoder
+
+    N, K, snr_db = 1024, 512, 3.0
+    frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
+    frozen_mask = frozen_mask_from_positions(N, frozen)
+    msgs = np.random.default_rng(2).integers(0, 2, (batch, K)).astype(np.int8)
+    _log("sc: encoding + channel (host) ...")
+    cw = _polar_encode_host(msgs, N, info_bits)
+    llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=44))
+    _log("sc: compiling mega SC N=1024 ...")
+    decode = jax.jit(make_sc_decoder(N, frozen_mask, impl="mega"))
+    t_first = time.perf_counter()
+    u = jax.block_until_ready(decode(llr))
+    _log(f"sc: compile+first run {time.perf_counter() - t_first:.1f}s")
+    t = _time_steady_state(decode, llr)
+    mbps = batch * K / t / 1e6
+    ber = float((np.asarray(u)[:, info_bits] != msgs).mean())
+    _log(f"sc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
+    return {"mbps": mbps, "ber_3db": ber, "batch": batch}
+
+
 def main() -> None:
     # NOTE: do NOT enable jax's persistent compilation cache here — over the
     # remote-TPU (axon) tunnel a cached-executable *load* measures ~70 s,
@@ -205,6 +238,17 @@ def main() -> None:
         ldpc_mfu_estimate=round(ldpc["roofline"]["mfu_vs_bf16_peak"], 6),
     )
     print(json.dumps(result), flush=True)
+    # cheap stage (~4 s compile): the whole-decode SC Pallas kernel
+    try:
+        sc = bench_sc_mega()
+        result.update(
+            sc_mega_n1024_mbps=round(sc["mbps"], 1),
+            sc_vs_baseline=round(sc["mbps"] / BASELINE_SC_N1024_MBPS, 1),
+            sc_ber_3db=sc["ber_3db"],
+        )
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001 — bench must not die here
+        _log(f"sc mega stage failed (keeping prior line): {e!r}")
     # staged upgrade: whole-chunk-step Pallas superkernels (unroll-kernel,
     # chunk 64) are ~1.8x the safe line but compile ~4.5-8 min over the
     # tunnel; attempt them LAST so a stall/kill can only lose the upgrade,

@@ -19,6 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polar-n", type=int, default=1024)
     p.add_argument("--polar-k", type=int, default=512)
     p.add_argument("--polar-decoder", default="sc", choices=["sc", "scl"])
+    p.add_argument("--sc-impl", default="unrolled",
+                   choices=["unrolled", "scan", "mega"],
+                   help="SC implementation (mega = whole-decode Pallas "
+                   "kernel, ~1.5x on TPU)")
     p.add_argument("--list-size", type=int, default=8)
     p.add_argument("--ldpc-n", type=int, default=504)
     p.add_argument("--ldpc-k", type=int, default=252)
@@ -42,7 +46,8 @@ def main(argv=None) -> dict:
         results["polar"] = measure_polar_throughput(
             N=args.polar_n, K=args.polar_k, snr_db=args.snr_db,
             batch=args.batch, decoder=args.polar_decoder,
-            list_size=args.list_size, seed=args.seed)
+            list_size=args.list_size, seed=args.seed,
+            sc_impl=args.sc_impl)
         p = results["polar"]
         print(f"Polar {args.polar_decoder.upper()} N={args.polar_n}: "
               f"enc {p['encoding_throughput']:.2f} / dec {p['decoding_throughput']:.2f} "
