@@ -84,7 +84,8 @@ def _polar_encode_host(msgs, N, info_bits):
 
 
 def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
-                     control_impl: str = "split", chunk: int = 128) -> dict:
+                     control_impl: str = "split", chunk: int = 128,
+                     scan_chunks: int = 0) -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
     # batches are affordable.  v5e (2026-08-17): XLA bodies 116.4 Mbps at
@@ -113,33 +114,70 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
     N, K, L, snr_db = 1024, 512, 8, 3.0
     frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
     frozen_mask = frozen_mask_from_positions(N, frozen)
-    msgs = np.random.default_rng(0).integers(0, 2, (batch, K)).astype(np.int8)
+    nb = max(scan_chunks, 1) * batch
+    msgs = np.random.default_rng(0).integers(0, 2, (nb, K)).astype(np.int8)
     _log("polar: encoding + channel (host) ...")
     cw = _polar_encode_host(msgs, N, info_bits)
     llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=42))
 
     _log(f"polar: compiling SCL-8 N=1024 (scan-chunked/{body_impl}/"
-         f"{control_impl}, batch {batch}) ...")
-    decode = jax.jit(make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
-                                      body_impl=body_impl, chunk=chunk,
-                                      control_impl=control_impl))
-    t_first = time.perf_counter()
-    u_paths, metrics = jax.block_until_ready(decode(llr))
-    _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
-    t = _time_steady_state(decode, llr)
-    mbps = batch * K / t / 1e6
-    # correctness spot-check on host (argmax-metric path selection)
-    u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
-    best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info_bits]
-    ber = float((best != msgs).mean())
+         f"{control_impl}, batch {batch}"
+         + (f" x{scan_chunks} scan" if scan_chunks else "") + ") ...")
+    dec = make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
+                           body_impl=body_impl, chunk=chunk,
+                           control_impl=control_impl)
+    if scan_chunks:
+        # on-chip chained decode: a lax.scan walks scan_chunks batches in
+        # ONE dispatched program (the remote-tunnel dispatch round-trip
+        # otherwise serializes with compute and taxes the measurement
+        # ~19%; a locally attached chip would not pay it).  BER comes back
+        # from the same program via an on-device argmax-path error count,
+        # so correctness is still proven on every timed run.
+        import jax.numpy as _jnp
+        from jax import lax
+
+        llr3 = llr.reshape(scan_chunks, batch, N)
+        msgs_dev = jnp.asarray(msgs.reshape(scan_chunks, batch, K))
+        info_idx = jnp.asarray(info_bits, _jnp.int32)
+
+        @jax.jit
+        def scan_decode(llrs, msgs3):
+            def step(_, x):
+                u, m = dec(x["llr"])
+                sel = _jnp.argmax(m, axis=1)
+                best = _jnp.take_along_axis(
+                    u, sel[:, None, None], axis=1)[:, 0, :]
+                errs = _jnp.sum(best[:, info_idx] != x["msg"],
+                                dtype=_jnp.int32)
+                return None, errs
+            _, errs = lax.scan(step, None, {"llr": llrs, "msg": msgs3})
+            return _jnp.sum(errs)
+
+        t_first = time.perf_counter()
+        total_errs = jax.block_until_ready(scan_decode(llr3, msgs_dev))
+        _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
+        t = _time_steady_state(scan_decode, llr3, msgs_dev, iters=3)
+        mbps = nb * K / t / 1e6
+        ber = float(np.asarray(total_errs)) / (nb * K)
+    else:
+        decode = jax.jit(dec)
+        t_first = time.perf_counter()
+        u_paths, metrics = jax.block_until_ready(decode(llr))
+        _log(f"polar: compile+first run {time.perf_counter() - t_first:.1f}s")
+        t = _time_steady_state(decode, llr)
+        mbps = batch * K / t / 1e6
+        # correctness spot-check on host (argmax-metric path selection)
+        u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
+        best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info_bits]
+        ber = float((best != msgs).mean())
     # roofline anchor (north star): achieved algorithmic op rate vs chip
     # ceiling, using the reference's closed-form op count for comparability
     ops = polar_complexity(N, K, L)["scl_decoding"]["operations"]
-    roof = decode_roofline(ops, batch / t)
+    roof = decode_roofline(ops, nb / t)
     _log(f"polar: {mbps:.1f} Mbps, BER@3dB {ber:.2e}, "
          f"alg {roof['algorithmic_ops_per_s'] / 1e9:.1f} Gop/s")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch,
-            "ber_3db": ber, "roofline": roof}
+            "scan_chunks": scan_chunks, "ber_3db": ber, "roofline": roof}
 
 
 def bench_ldpc_bp(batch: int = 4096) -> dict:
@@ -254,7 +292,8 @@ def main() -> None:
     # tunnel; attempt them LAST so a stall/kill can only lose the upgrade,
     # never the safe lines above (the driver reads the last complete line)
     try:
-        polar_p = bench_polar_scl8(control_impl="unroll-kernel", chunk=64)
+        polar_p = bench_polar_scl8(control_impl="unroll-kernel", chunk=64,
+                                   scan_chunks=16)
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"polar pallas upgrade failed (keeping xla line): {e!r}")
         return
@@ -269,6 +308,7 @@ def main() -> None:
             scl_body="in-kernel",
             scl_control="unroll-kernel",
             scl_chunk=64,
+            scl_scan_chunks=16,
             xla_body_mbps=round(polar["mbps"], 3),
         )
         print(json.dumps(result))
