@@ -213,11 +213,15 @@ def bench_ldpc_bp(batch: int = 4096) -> dict:
             "ber_3db": ber, "roofline": roof}
 
 
-def bench_sc_mega(batch: int = 16384) -> dict:
-    # whole-decode SC Pallas kernel (ops/sc_mega_pallas.py): ~4 s compile,
-    # 1408 Mbps measured on v5e (vs 947 for the unrolled XLA fast path)
+def bench_sc_mega(batch: int = 16384, scan_chunks: int = 8) -> dict:
+    # whole-decode SC Pallas kernel (ops/sc_mega_pallas.py): ~4-18 s
+    # compile.  Chained on-chip (lax.scan, on-device error count — the
+    # per-dispatch tunnel round-trip is ~60% of a single-dispatch SC
+    # measurement): 3565 Mbps on v5e vs 1408 dispatched singly, 947 for
+    # the unrolled XLA fast path.
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.models.polar.construction import (
@@ -226,22 +230,36 @@ def bench_sc_mega(batch: int = 16384) -> dict:
     from polarcode_and_ldpc_tpu.models.polar.sc import make_sc_decoder
 
     N, K, snr_db = 1024, 512, 3.0
+    nb = scan_chunks * batch
     frozen, info_bits = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
     frozen_mask = frozen_mask_from_positions(N, frozen)
-    msgs = np.random.default_rng(2).integers(0, 2, (batch, K)).astype(np.int8)
+    msgs = np.random.default_rng(2).integers(0, 2, (nb, K)).astype(np.int8)
     _log("sc: encoding + channel (host) ...")
     cw = _polar_encode_host(msgs, N, info_bits)
-    llr = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=44))
+    llr3 = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=44)).reshape(
+        scan_chunks, batch, N)
+    msgs3 = jnp.asarray(msgs.reshape(scan_chunks, batch, K))
+    info_idx = jnp.asarray(info_bits, jnp.int32)
     _log("sc: compiling mega SC N=1024 ...")
-    decode = jax.jit(make_sc_decoder(N, frozen_mask, impl="mega"))
+    dec = make_sc_decoder(N, frozen_mask, impl="mega")
+
+    @jax.jit
+    def scan_decode(llrs, m3):
+        def step(_, x):
+            u = dec(x["llr"])
+            return None, jnp.sum(u[:, info_idx] != x["msg"],
+                                 dtype=jnp.int32)
+        return jnp.sum(lax.scan(step, None, {"llr": llrs, "msg": m3})[1])
+
     t_first = time.perf_counter()
-    u = jax.block_until_ready(decode(llr))
+    errs = jax.block_until_ready(scan_decode(llr3, msgs3))
     _log(f"sc: compile+first run {time.perf_counter() - t_first:.1f}s")
-    t = _time_steady_state(decode, llr)
-    mbps = batch * K / t / 1e6
-    ber = float((np.asarray(u)[:, info_bits] != msgs).mean())
+    t = _time_steady_state(scan_decode, llr3, msgs3, iters=3)
+    mbps = nb * K / t / 1e6
+    ber = float(np.asarray(errs)) / (nb * K)
     _log(f"sc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
-    return {"mbps": mbps, "ber_3db": ber, "batch": batch}
+    return {"mbps": mbps, "ber_3db": ber, "batch": batch,
+            "scan_chunks": scan_chunks}
 
 
 def main() -> None:
