@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reuse an existing polar_results.json in output-dir")
     p.add_argument("--skip-ldpc", action="store_true",
                    help="reuse an existing ldpc_results.json in output-dir")
+    p.add_argument("--scl-body", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--scl-control", default="split",
+                   choices=["split", "fused", "kernel", "unroll-fused",
+                            "unroll-kernel", "mega"])
+    p.add_argument("--scl-chunk", type=int, default=128)
+    p.add_argument("--chunks-per-dispatch", type=int, default=1)
     return p
 
 
@@ -52,7 +58,11 @@ def main(argv=None) -> dict:
     sim = SimulationConfig(snr_start=start, snr_stop=stop, snr_step=step,
                            num_frames=args.num_frames,
                            max_errors=args.max_errors,
-                           batch_size=args.batch_size, seed=args.seed)
+                           batch_size=args.batch_size, seed=args.seed,
+                           chunks_per_dispatch=args.chunks_per_dispatch)
+    polar_perf = {"scl_body_impl": args.scl_body,
+                  "scl_chunk": args.scl_chunk,
+                  "scl_control_impl": args.scl_control}
     mesh = get_mesh(args)
     outdir = Path(args.output_dir)
 
@@ -65,7 +75,8 @@ def main(argv=None) -> dict:
         polar = test_multiple_rates("polar", rates, N=args.polar_n, sim=sim,
                                     mesh=mesh, verbose=True,
                                     algorithm=args.polar_algorithm,
-                                    list_size=args.list_size)
+                                    list_size=args.list_size,
+                                    polar_perf=polar_perf)
         save_results(polar, outdir / "polar_results.json")
     if args.skip_ldpc:
         ldpc = json.loads((outdir / "ldpc_results.json").read_text())

@@ -28,6 +28,12 @@ class PolarCodeConfig:
     # decoding
     algorithm: str = "sc"  # sc | scl | ca_scl
     list_size: int = 8
+    # TPU fast-path knobs (bit-identical outputs in every combination;
+    # see models/polar/scanscl.py — "unroll-kernel" + chunk 64 is the
+    # measured flagship optimum on v5e)
+    scl_body_impl: str = "xla"       # xla | pallas
+    scl_chunk: int = 128
+    scl_control_impl: str = "split"  # split | fused | kernel | unroll-* | mega
 
     def __post_init__(self):
         assert self.N > 0 and (self.N & (self.N - 1)) == 0, "N must be a power of 2"
@@ -82,6 +88,9 @@ class SimulationConfig:
     num_frames: int = 1000
     max_errors: int = 100
     batch_size: int = 256  # device-side frames per chunk (new: frames are batched)
+    chunks_per_dispatch: int = 1  # device chunks per host dispatch (tunnel
+    #                               round-trip amortization; exact accounting
+    #                               is preserved — see sim/montecarlo.py)
     seed: int = 42
     output_dir: str = "results"
 

@@ -55,13 +55,16 @@ def simulate_polar(
         return make_polar_pipeline(
             cfg.N, cfg.K, frozen, snr_db, decoder=decoder,
             list_size=cfg.list_size, use_crc=use_crc,
-            crc_polynomial=cfg.crc_polynomial, channel_fn=chan(snr_db))
+            crc_polynomial=cfg.crc_polynomial, channel_fn=chan(snr_db),
+            scl_body_impl=cfg.scl_body_impl, scl_chunk=cfg.scl_chunk,
+            scl_control_impl=cfg.scl_control_impl)
 
     k_counted = cfg.K - (int(cfg.crc_polynomial.split("-")[1]) if use_crc else 0)
     out = run_snr_sweep(builder, k_counted, sim.snr_points(),
                         num_frames=sim.num_frames, max_errors=sim.max_errors,
                         seed=sim.seed, chunk_frames=sim.batch_size, mesh=mesh,
-                        verbose=verbose)
+                        verbose=verbose,
+                        chunks_per_dispatch=sim.chunks_per_dispatch)
     out["config"] = {"N": cfg.N, "K": cfg.K, "rate": cfg.rate,
                      "decoder": decoder, "list_size": cfg.list_size,
                      "use_crc": use_crc, "construction": cfg.construction}
@@ -152,6 +155,7 @@ def test_multiple_rates(
     verbose: bool = False,
     algorithm: Optional[str] = None,
     list_size: int = 8,
+    polar_perf: Optional[dict] = None,
 ) -> dict:
     """Rate sweep (reference ``test_snr_curves.py:166-239``): one BER/FER
     curve per code rate.
@@ -179,7 +183,8 @@ def test_multiple_rates(
             cfg = PolarCodeConfig(N=N, K=K, algorithm=algorithm or "sc",
                                   list_size=list_size,
                                   construction=construction,
-                                  design_snr_db=design)
+                                  design_snr_db=design,
+                                  **(polar_perf or {}))
             res = simulate_polar(cfg, sim, mesh, verbose)
         elif family == "ldpc":
             k = int(round(N * rate))
