@@ -103,3 +103,32 @@ def test_sweep_falls_back_for_baked_channel_builder():
                             chunk_frames=100)
         assert ctor.call_count == 2  # per-point fallback
     assert out["ber"][0] > out["ber"][1]
+
+
+def test_perf_knobs_are_result_invariant():
+    # the TPU fast-path knobs threaded through the config layer
+    # (PolarCodeConfig.scl_* and SimulationConfig.chunks_per_dispatch)
+    # must not change ANY simulation number — decoders are bit-identical
+    # across control modes and RNG is keyed by global frame id
+    from polarcode_and_ldpc_tpu.core.config import (
+        PolarCodeConfig,
+        SimulationConfig,
+    )
+    from polarcode_and_ldpc_tpu.sim.experiments import simulate_polar
+
+    base_sim = SimulationConfig(snr_start=0, snr_stop=1, snr_step=1,
+                                num_frames=96, max_errors=None,
+                                batch_size=32)
+    fast_sim = SimulationConfig(snr_start=0, snr_stop=1, snr_step=1,
+                                num_frames=96, max_errors=None,
+                                batch_size=32, chunks_per_dispatch=3)
+    base = simulate_polar(
+        PolarCodeConfig(N=512, K=256, algorithm="ca_scl", list_size=4),
+        base_sim)
+    fast = simulate_polar(
+        PolarCodeConfig(N=512, K=256, algorithm="ca_scl", list_size=4,
+                        scl_control_impl="fused", scl_chunk=64),
+        fast_sim)
+    assert base["ber"] == fast["ber"]
+    assert base["fer"] == fast["fer"]
+    assert base["frames_tested"] == fast["frames_tested"]
