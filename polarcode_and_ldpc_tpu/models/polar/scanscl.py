@@ -269,34 +269,119 @@ def decode_selector(sel: int, t: int) -> tuple[int, bool]:
     return sel - t - 1, True
 
 
-def super_touch_sets(sel: int, j: int, t: int):
+def pend_liveness(desc_k, asc_j, t: int, C: int):
+    """Static per-chunk compose masks: which pending permutations actually
+    need this chunk's relative permutation R composed in.
+
+    A compose into ``pend_x[l]`` at chunk c is *dead* unless the next
+    schedule event touching that pending (in program order: descend reads /
+    descend resets at the next chunks, this chunk's ascend reads, ascend
+    reset) is a READ — a reset overwrites the accumulated value unread.
+    ~60% of all composes are dead at flagship and large-code schedules
+    (measured 38-42% needed), and skipping them also shrinks the
+    superkernels' pend operand footprint (the dominant VMEM term at
+    L = 32).  Bit-exactness is structural: a skipped compose is provably
+    never read before its next reset (cross-control-mode equality tests
+    enforce).
+
+    Returns ``(compose_a, compose_b)``: tuples (len C−1) of frozensets of
+    level indices for the in-scan chunks 0..C−2.  The last chunk never
+    composes into storage (``_make_last_fn`` folds R into its reads).
+    """
+    events: list[tuple[tuple[int, int], str, tuple[str, int]]] = []
+    for c in range(C):
+        k, inv = decode_selector(int(desc_k[c]), t)
+        if c == 0:
+            lo = 1
+            for l in range(t):
+                events.append(((c, 0), "reset", ("a", l)))
+        else:
+            lo = t - k
+            if lo >= 2 and not inv:
+                events.append(((c, 0), "read", ("a", lo - 2)))
+            events.append(((c, 0), "read", ("b", lo - 1)))
+            for l in range(lo - 1, t):
+                events.append(((c, 0), "reset", ("a", l)))
+        j = int(asc_j[c]) if c < C - 1 else t
+        for s in range(j):
+            events.append(((c, 2), "read", ("b", t - 1 - s)))
+        if c < C - 1:
+            events.append(((c, 2), "reset", ("b", t - j - 1)))
+    compose_a: list[frozenset] = []
+    compose_b: list[frozenset] = []
+    for c in range(C - 1):
+        ca, cb = set(), set()
+        for kind, lvl, out in (("a", None, ca), ("b", None, cb)):
+            for l in range(t):
+                nxt = None
+                for (tm, ty, p) in events:
+                    if p == (kind, l) and tm > (c, 1):
+                        nxt = ty
+                        break
+                if nxt == "read":
+                    out.add(l)
+        compose_a.append(frozenset(ca))
+        compose_b.append(frozenset(cb))
+    return tuple(compose_a), tuple(compose_b)
+
+
+def super_touch_sets(sel: int, j: int, t: int,
+                     compose_a=None, compose_b=None):
     """Static I/O footprint of one super-step variant (list indices into
     the level stacks, level l ↔ index l−1).  Drives the selective-operand
     Pallas superkernel (``ops/scl_superchunk_pallas.py``) — per-variant
     VMEM stays small because only the touched levels ride through the
-    kernel."""
+    kernel.
+
+    ``compose_a`` / ``compose_b`` are the chunk's live-compose masks
+    (``pend_liveness``); ``None`` means compose everything (legacy).
+    Pending I/O: inputs are the descend-read level plus composed levels
+    whose pre-value survives (a pend_a level reset in this chunk's descend
+    composes from the in-kernel identity, needing no input); outputs are
+    the composed levels minus the ascend-reset level (whose final value is
+    a constant identity the JAX wrapper writes directly).  Reset-only
+    pends never enter the kernel at all.
+    """
     k, _ = decode_selector(sel, t)
     if k == t:
         needs_llr = True
         alpha_read: list[int] = []
         alpha_write = list(range(t))
         beta_read_desc: list[int] = []
+        pend_a_read_desc: list[int] = []
+        a_resets = set(range(t))
     else:
         lo = t - k
         needs_llr = lo == 1
         alpha_read = [] if lo == 1 else [lo - 2]
         alpha_write = list(range(lo - 1, t))
         beta_read_desc = [lo - 1]
+        _, inv = decode_selector(sel, t)
+        pend_a_read_desc = [lo - 2] if (lo >= 2 and not inv) else []
+        a_resets = set(range(lo - 1, t))
     beta_read = sorted(set(beta_read_desc)
                        | {t - 1 - s for s in range(j)})
     beta_write = [t - j - 1]
+    ca = set(range(t)) if compose_a is None else set(compose_a)
+    cb = set(range(t)) if compose_b is None else set(compose_b)
+    b_reset = t - j - 1
+    pend_a_in = sorted(set(pend_a_read_desc) | (ca - a_resets))
+    pend_a_out = sorted(ca)
+    pend_a_eye = sorted(a_resets - ca)  # identity written by the wrapper
+    pend_b_in = sorted({beta_read_desc[0]} | cb
+                       if beta_read_desc else cb)
+    pend_b_out = sorted(cb - {b_reset})
+    pend_b_eye = [b_reset]
     return dict(needs_llr=needs_llr, alpha_read=alpha_read,
                 alpha_write=alpha_write, beta_read=beta_read,
-                beta_write=beta_write)
+                beta_write=beta_write,
+                pend_a_in=pend_a_in, pend_a_out=pend_a_out,
+                pend_a_eye=pend_a_eye, pend_b_in=pend_b_in,
+                pend_b_out=pend_b_out, pend_b_eye=pend_b_eye)
 
 
 def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
-                   body_fn, algebra=None):
+                   body_fn, algebra=None, compose_a=None, compose_b=None):
     """One whole chunk step — descend(sel) → body → pending composes →
     ascend(j) — as a pure function of explicit operands:
 
@@ -310,6 +395,12 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
     bit-exact either way (one-hot sums have a single nonzero term).
     Untouched levels (see ``super_touch_sets``) pass through unread, so
     callers may stub them with ``None``.
+
+    ``compose_a`` / ``compose_b`` (``pend_liveness``): compose the chunk's
+    R only into the listed pending levels; ``None`` composes everything.
+    Skipped levels pass through stale — provably unread before their next
+    reset, so decode outputs are bit-identical (tests enforce across
+    control modes).
     """
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
@@ -355,9 +446,14 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
             pend_a[l - 1] = eye
         # ---- chunk body (statically specialized subtree decode) ----------
         beta_c, pm, R = body_fn(alpha[t - 1], pm)
-        # ---- compose the chunk's relative permutation into pendings ------
-        pend_a = [compose(R, p) for p in pend_a]
-        pend_b = [compose(R, p) for p in pend_b]
+        # ---- compose the chunk's relative permutation into the LIVE
+        # pendings (skipped ones are provably unread before their reset) --
+        ca = range(t) if compose_a is None else compose_a
+        cb = range(t) if compose_b is None else compose_b
+        pend_a = [compose(R, p) if i in ca else p
+                  for i, p in enumerate(pend_a)]
+        pend_b = [compose(R, p) if i in cb else p
+                  for i, p in enumerate(pend_b)]
         # ---- ascend: combine completed right subtrees, park left ---------
         cur = beta_c
         for step_i in range(j):
@@ -558,9 +654,13 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             # unaligned batches fall back to the straight-line XLA program
             control_impl = "unroll-fused"
     if control_impl != "split":
-        # one switch per chunk over the unique (descend, pattern, ascend)
-        # triples that actually occur in the schedule
-        triples = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]))
+        # one switch per chunk over the unique (descend, pattern, ascend,
+        # compose-mask) variants that actually occur in the schedule —
+        # the per-chunk live-compose masks (pend_liveness) skip the ~60%
+        # of pending composes that are never read before their reset
+        comp_a, comp_b = pend_liveness(desc_k, asc_j, t, C)
+        triples = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]),
+                    comp_a[c], comp_b[c])
                    for c in range(C - 1)]
         uniq_t: dict[tuple, int] = {}
         tid = np.zeros(C - 1, np.int32)
@@ -666,9 +766,10 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         if control_impl != "split":
             if control_impl in ("fused", "unroll-fused"):
                 def _super_branch(tr):
-                    sel, pid, j = tr
+                    sel, pid, j, ca, cb = tr
                     fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                        bodies[pid])
+                                        bodies[pid], compose_a=ca,
+                                        compose_b=cb)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -686,20 +787,23 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 )
 
                 def _super_branch(tr):
-                    sel, pid, j = tr
+                    sel, pid, j, ca, cb = tr
                     # hybrid control: variants whose operand footprint
                     # exceeds the VMEM budget (tall ascends at large N·L)
                     # run the bit-identical fused-XLA program instead
                     if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
-                                         batch_tile)
+                                         batch_tile, compose_a=ca,
+                                         compose_b=cb)
                             > VMEM_OPERAND_BUDGET):
                         fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                            bodies[pid])
+                                            bodies[pid], compose_a=ca,
+                                            compose_b=cb)
                     else:
                         fn = make_superchunk_pallas(
                             sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
                             leaf_impl=leaf_impl, batch_tile=batch_tile,
-                            interpret=control_impl == "kernel-interpret")
+                            interpret=control_impl == "kernel-interpret",
+                            compose_a=ca, compose_b=cb)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(

@@ -40,6 +40,7 @@ from ..models.polar.scanscl import (
     _make_chunk_body,
     _make_last_fn,
     _make_super_fn,
+    pend_liveness,
 )
 from .scl_body_pallas import _LOOP_ALGEBRA, _identity_r_loop
 from .scl_superchunk_pallas import _SUPER_ALGEBRA
@@ -99,9 +100,11 @@ def make_scl_mega_pallas(chunk_flags: np.ndarray, desc_k: np.ndarray,
                                            leaf_impl, algebra=_LOOP_ALGEBRA))
         pattern_ids[c] = unique[key]
 
+    comp_a, comp_b = pend_liveness(desc_k, asc_j, t, C)
     step_fns = [
         _make_super_fn(int(desc_k[c]), int(asc_j[c]), t, sizes, Lsz, dtype,
-                       bodies[pattern_ids[c]], algebra=_SUPER_ALGEBRA)
+                       bodies[pattern_ids[c]], algebra=_SUPER_ALGEBRA,
+                       compose_a=comp_a[c], compose_b=comp_b[c])
         for c in range(C - 1)
     ]
     last_fn = _make_last_fn(t, sizes, Lsz, dtype, bodies[pattern_ids[C - 1]],

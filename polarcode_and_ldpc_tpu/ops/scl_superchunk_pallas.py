@@ -48,17 +48,22 @@ VMEM_OPERAND_BUDGET = 8 * 1024 * 1024
 
 
 def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
-                     batch_tile: int = 128) -> int:
+                     batch_tile: int = 128, compose_a=None,
+                     compose_b=None) -> int:
     """Declared operand bytes (inputs + outputs) of one chunk-step
-    superkernel variant at the given batch tile."""
-    touch = super_touch_sets(sel, j, t)
+    superkernel variant at the given batch tile.  With live-compose masks
+    (``scanscl.pend_liveness``) only the composed/read pendings ride
+    through the kernel — the dominant VMEM term at large L."""
+    touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     fsz = jnp.dtype(dtype).itemsize
     total = sizes[0] * batch_tile * fsz if touch["needs_llr"] else 0
     for i in touch["alpha_read"] + touch["alpha_write"]:
         total += Lsz * sizes[i + 1] * batch_tile * fsz
     for i in touch["beta_read"] + touch["beta_write"]:
         total += Lsz * sizes[i + 1] * batch_tile  # int8
-    total += 4 * t * Lsz * Lsz * batch_tile * fsz  # pend_a/pend_b in+out
+    n_pend = (len(touch["pend_a_in"]) + len(touch["pend_a_out"])
+              + len(touch["pend_b_in"]) + len(touch["pend_b_out"]))
+    total += n_pend * Lsz * Lsz * batch_tile * fsz
     total += 2 * Lsz * batch_tile * fsz  # pm in+out
     return total
 
@@ -95,16 +100,19 @@ _SUPER_ALGEBRA = dict(_LOOP_ALGEBRA, broadcast_rows=_broadcast_rows_concat)
 def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                            sizes, Lsz: int, dtype,
                            leaf_impl: str = "onehot",
-                           batch_tile: int = 128, interpret: bool = False):
+                           batch_tile: int = 128, interpret: bool = False,
+                           compose_a=None, compose_b=None):
     """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
 
     Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
     pend_b tuple, pm [L, B]) → (alpha', pend_a', beta', pend_b', pm')`` —
     the same contract as ``scanscl._make_super_fn`` (untouched levels pass
-    through at the JAX level without entering the kernel).
+    through at the JAX level without entering the kernel; reset-only
+    pendings are written as a JAX-level broadcast identity; composes run
+    only for the live-mask levels — see ``scanscl.pend_liveness``).
     """
     flags = np.asarray(flags, bool)
-    touch = super_touch_sets(sel, j, t)
+    touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     a_read, a_write = touch["alpha_read"], touch["alpha_write"]
     b_read, b_write = touch["beta_read"], touch["beta_write"]
     needs_llr = touch["needs_llr"]
@@ -113,23 +121,27 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     body_kernel = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
                                    algebra=_LOOP_ALGEBRA)
     super_kernel_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                     body_kernel, algebra=_SUPER_ALGEBRA)
+                                     body_kernel, algebra=_SUPER_ALGEBRA,
+                                     compose_a=compose_a,
+                                     compose_b=compose_b)
     # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
-    super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla)
+    super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla,
+                                  compose_a=compose_a, compose_b=compose_b)
 
     # static operand schedule: (kind, level-index) in kernel-ref order
     in_plan = ([("llr", None)] if needs_llr else []) \
         + [("alpha", i) for i in a_read] \
-        + [("pend_a", i) for i in range(t)] \
+        + [("pend_a", i) for i in touch["pend_a_in"]] \
         + [("beta", i) for i in b_read] \
-        + [("pend_b", i) for i in range(t)] \
+        + [("pend_b", i) for i in touch["pend_b_in"]] \
         + [("pm", None)]
     out_plan = [("alpha", i) for i in a_write] \
-        + [("pend_a", i) for i in range(t)] \
+        + [("pend_a", i) for i in touch["pend_a_out"]] \
         + [("beta", i) for i in b_write] \
-        + [("pend_b", i) for i in range(t)] \
+        + [("pend_b", i) for i in touch["pend_b_out"]] \
         + [("pm", None)]
+    eye_a, eye_b = touch["pend_a_eye"], touch["pend_b_eye"]
 
     def _shape_dtype(kind, i, B):
         if kind == "llr":
@@ -155,8 +167,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         vals = {key: r[:] for key, r in zip(in_plan, ins)}
         alpha = [vals.get(("alpha", i)) for i in range(t)]
         beta = [vals.get(("beta", i)) for i in range(t)]
-        pend_a = [vals[("pend_a", i)] for i in range(t)]
-        pend_b = [vals[("pend_b", i)] for i in range(t)]
+        pend_a = [vals.get(("pend_a", i)) for i in range(t)]
+        pend_b = [vals.get(("pend_b", i)) for i in range(t)]
         llr = vals.get(("llr", None))
         pm = vals[("pm", None)]
         alpha2, pend_a2, beta2, pend_b2, pm2 = super_kernel_fn(
@@ -188,6 +200,15 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         new = {k: dict(v) for k, v in full.items()}
         for (kind, i), o in zip(out_plan, outs):
             new[kind][i] = o
+        # reset-only pendings never enter the kernel: their final value is
+        # the identity, written here as a free JAX-level broadcast
+        if eye_a or eye_b:
+            eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
+                                   (Lsz, Lsz, B))
+            for i in eye_a:
+                new["pend_a"][i] = eye
+            for i in eye_b:
+                new["pend_b"][i] = eye
         return (tuple(new["alpha"][i] for i in range(t)),
                 tuple(new["pend_a"][i] for i in range(t)),
                 tuple(new["beta"][i] for i in range(t)),
