@@ -97,7 +97,7 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0) -> dict:
 
 def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                   chunk: int = 64, body: str = "xla",
-                  leaf: str = "onehot") -> dict:
+                  leaf: str = "onehot", control: str = "split") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -125,7 +125,7 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                       .astype(np.float32))
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
                                    chunk=chunk, body_impl=body,
-                                   leaf_impl=leaf))
+                                   leaf_impl=leaf, control_impl=control))
     _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}) ...")
     t0 = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(dec(llr))
@@ -139,7 +139,8 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
     return {
         "config": {"N": N, "K": K, "list_size": list_size, "decoder": "scl",
                    "impl": "scan-chunked", "chunk": chunk, "snr_db": snr_db,
-                   "batch": batch, "body_impl": body, "leaf_impl": leaf},
+                   "batch": batch, "body_impl": body, "leaf_impl": leaf,
+                   "control_impl": control},
         "compile_seconds": t_compile,
         "decode_seconds_per_batch": t,
         "decoded_info_mbps": batch * K / t / 1e6,
@@ -157,6 +158,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--body", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
+    ap.add_argument("--control", default="split",
+                    choices=["split", "fused", "kernel", "unroll-fused",
+                             "unroll-kernel"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -169,7 +173,8 @@ def main():
         path = OUT_DIR / "ldpc_n8192_qc_bp.json"
     else:
         out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk,
-                            body=args.body, leaf=args.leaf)
+                            body=args.body, leaf=args.leaf,
+                            control=args.control)
         path = OUT_DIR / "polar_n4096_scl32.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
