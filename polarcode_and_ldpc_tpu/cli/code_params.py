@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--families", default="polar,ldpc")
     p.add_argument("--skip-rates", action="store_true")
     p.add_argument("--skip-lengths", action="store_true")
+    p.add_argument("--sc-impl", default="unrolled",
+                   choices=["unrolled", "scan", "mega"],
+                   help="polar SC implementation for the throughput probes "
+                   "(mega = whole-decode Pallas kernel)")
     return p
 
 
@@ -52,7 +56,8 @@ def main(argv=None) -> dict:
             print(f"{fam} length sweep {lengths} @ {args.snr_db} dB:")
             res = test_code_lengths(fam, lengths, rate=0.5, snr_db=args.snr_db,
                                     num_frames=args.num_frames,
-                                    batch_size=args.batch_size, mesh=mesh)
+                                    batch_size=args.batch_size, mesh=mesh,
+                                    sc_impl=args.sc_impl)
             for e in res:
                 msg = (f"  N={e['length']}: BER {e.get('ber', 'ERR'):.2e} "
                        f"dec {e.get('decoding_throughput', 0):.3f} Mbps"
