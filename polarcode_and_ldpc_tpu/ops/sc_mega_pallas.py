@@ -116,6 +116,13 @@ def _polar_transform_nb(beta_nb, N: int):
     return x
 
 
+#: measured Mosaic scoped-stack cost of the fused recursion+transform:
+#: ~10.5 live buffers of N×tile×4 bytes (21 MB at N=1024/tile=512,
+#: 41.8 MB at N=4096/tile=256 — both VMEM-OOM'd; N=1024/tile=256 fits)
+_SC_MEGA_BYTES_PER_ELEM = 42
+_SC_MEGA_VMEM_BUDGET = 13 * 1024 * 1024
+
+
 def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
                          fast_nodes: bool = True, batch_tile: int = 256,
                          interpret: bool = False):
@@ -125,11 +132,20 @@ def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
     glue is the bit-reversal gather + batch transpose on each side.
     Batches that don't fill a lane tile run the identical XLA program
     instead.
+
+    The batch tile auto-shrinks so the kernel's scoped VMEM fits the
+    core (large N needs smaller tiles); below a 64-lane tile the whole
+    decode falls back to the identical XLA program.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     rev = np.asarray(bit_reverse_permutation(N))
     core = make_sc_core_nb(N, frozen_mask[rev], dtype, fast_nodes)
     rev_j = jnp.asarray(rev, jnp.int32)
+    while (batch_tile >= 64
+           and N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
+           > _SC_MEGA_VMEM_BUDGET):
+        batch_tile //= 2
+    kernel_ok = batch_tile >= 64
 
     def kernel(llr_ref, u_ref):
         u_ref[:] = _polar_transform_nb(core(llr_ref[:]), N)
@@ -140,7 +156,7 @@ def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
         flat = llr.reshape((-1, N))
         B = flat.shape[0]
         llr_nb = jnp.transpose(flat[:, rev_j], (1, 0))  # [N, B]
-        if B % batch_tile == 0:
+        if kernel_ok and B % batch_tile == 0:
             u_nb = pl.pallas_call(
                 kernel,
                 grid=(B // batch_tile,),
