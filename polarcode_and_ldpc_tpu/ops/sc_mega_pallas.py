@@ -141,11 +141,16 @@ def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
     rev = np.asarray(bit_reverse_permutation(N))
     core = make_sc_core_nb(N, frozen_mask[rev], dtype, fast_nodes)
     rev_j = jnp.asarray(rev, jnp.int32)
-    while (batch_tile >= 64
+    while (batch_tile >= 128
            and N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
            > _SC_MEGA_VMEM_BUDGET):
         batch_tile //= 2
-    kernel_ok = batch_tile >= 64
+    # lane tiles below 128 are rejected by the Pallas TPU lowering
+    # (last block dim must be a multiple of 128), so N >= 4096 falls
+    # back to the identical XLA program
+    kernel_ok = (batch_tile >= 128
+                 and N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
+                 <= _SC_MEGA_VMEM_BUDGET)
 
     def kernel(llr_ref, u_ref):
         u_ref[:] = _polar_transform_nb(core(llr_ref[:]), N)
