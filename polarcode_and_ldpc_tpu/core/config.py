@@ -60,6 +60,10 @@ class LDPCCodeConfig:
     early_stop: bool = True
     normalization: float = 0.75
     offset: float = 0.5
+    # TPU fast path (bit-identical incl. iteration counts): "auto" uses
+    # the fused Pallas BP kernel with per-tile early exit when available
+    # (measured 731 vs 231 Mbps at n=504 on v5e)
+    bp_impl: str = "xla"  # xla | pallas | auto
 
     def __post_init__(self):
         assert self.n > self.k > 0, "need n > k > 0"

@@ -94,12 +94,14 @@ def simulate_ldpc(
         return make_ldpc_pipeline(
             enc.H, enc.G, snr_db, decoder=decoder, max_iter=cfg.max_iterations,
             normalization=norm, offset=offset, early_stop=cfg.early_stop,
-            message_idx=enc.info_positions, channel_fn=chan(snr_db))
+            message_idx=enc.info_positions, channel_fn=chan(snr_db),
+            bp_impl=cfg.bp_impl)
 
     out = run_snr_sweep(builder, enc.k, sim.snr_points(),
                         num_frames=sim.num_frames, max_errors=sim.max_errors,
                         seed=sim.seed, chunk_frames=sim.batch_size, mesh=mesh,
-                        verbose=verbose)
+                        verbose=verbose,
+                        chunks_per_dispatch=sim.chunks_per_dispatch)
     out["config"] = {"n": cfg.n, "k": enc.k, "rate": enc.k / cfg.n,
                      "dv": cfg.dv, "dc": cfg.dc, "decoder": decoder,
                      "max_iterations": cfg.max_iterations}
