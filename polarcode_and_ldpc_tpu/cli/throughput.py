@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["unrolled", "scan", "mega"],
                    help="SC implementation (mega = whole-decode Pallas "
                    "kernel, ~1.5x on TPU)")
+    p.add_argument("--bp-impl", default="xla",
+                   choices=["xla", "pallas", "auto"],
+                   help="BP implementation (auto = fused Pallas kernel "
+                   "on TPU, 3.2x)")
     p.add_argument("--list-size", type=int, default=8)
     p.add_argument("--ldpc-n", type=int, default=504)
     p.add_argument("--ldpc-k", type=int, default=252)
@@ -56,7 +60,8 @@ def main(argv=None) -> dict:
     if not args.skip_ldpc:
         results["ldpc"] = measure_ldpc_throughput(
             n=args.ldpc_n, k=args.ldpc_k, snr_db=args.snr_db,
-            batch=args.batch, max_iter=args.max_iter, seed=args.seed)
+            batch=args.batch, max_iter=args.max_iter, seed=args.seed,
+            bp_impl=args.bp_impl)
         l = results["ldpc"]
         print(f"LDPC BP n={args.ldpc_n}: "
               f"enc {l['encoding_throughput']:.2f} / dec {l['decoding_throughput']:.2f} "
