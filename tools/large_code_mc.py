@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--ldpc-cpd", type=int, default=8)
     ap.add_argument("--scl-chunk", type=int, default=128)
     ap.add_argument("--scl-leaf", default="sort", choices=["onehot", "sort"])
+    ap.add_argument("--scl-control", default="split",
+                    choices=["split", "fused", "kernel", "unroll-fused",
+                             "unroll-kernel"])
     ap.add_argument("--skip-ldpc", action="store_true")
     ap.add_argument("--skip-polar", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -78,7 +81,8 @@ def main() -> None:
         frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
         step = make_polar_pipeline(N, K, frozen, None, decoder="scl",
                                    list_size=L, scl_chunk=args.scl_chunk,
-                                   scl_leaf_impl=args.scl_leaf)
+                                   scl_leaf_impl=args.scl_leaf,
+                                   scl_control_impl=args.scl_control)
         sim = MonteCarloSimulator(step, K, chunk_frames=args.polar_chunk,
                                   chunks_per_dispatch=args.polar_cpd)
         _log(f"polar SCL-{L} N={N}: {args.frames} frames @{args.polar_snr} dB,"
@@ -94,6 +98,7 @@ def main() -> None:
         d = res.to_dict()
         d.update(wall_seconds_post_warmup=wall, snr_db=args.polar_snr,
                  scl_chunk=args.scl_chunk, scl_leaf=args.scl_leaf,
+                 scl_control=args.scl_control,
                  chunk_frames=args.polar_chunk,
                  chunks_per_dispatch=args.polar_cpd)
         out["polar_scl32_n4096_1M"] = d
