@@ -292,7 +292,9 @@ def main() -> None:
     # headline metric first; emit a partial JSON line immediately so a
     # tunnel stall during the secondary benchmark can't lose the result
     # (the driver reads the LAST complete line)
-    polar = bench_polar_scl8()
+    # the safe line uses the same chained-scan methodology as the
+    # upgrade stage so the upgrade guard below compares like for like
+    polar = bench_polar_scl8(scan_chunks=16)
     result = {
         "metric": "polar_scl8_n1024_decoded_info_mbps_per_chip",
         "value": round(polar["mbps"], 3),

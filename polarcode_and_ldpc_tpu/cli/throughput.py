@@ -22,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sc-impl", default="unrolled",
                    choices=["unrolled", "scan", "mega"],
                    help="SC implementation (mega = whole-decode Pallas "
-                   "kernel, ~1.5x on TPU)")
+                   "kernel, ~1.5x on TPU); only applies to "
+                   "--polar-decoder sc")
     p.add_argument("--bp-impl", default="xla",
                    choices=["xla", "pallas", "auto"],
                    help="BP implementation (auto = fused Pallas kernel "

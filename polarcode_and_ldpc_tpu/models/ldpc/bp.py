@@ -137,33 +137,16 @@ class BPDecoder:
         self.dtype = dtype
         self._decode = jax.jit(make_bp_decoder(self.graph, max_iter, early_stop, dtype))
         self._pallas_tile = pallas_batch_tile
-        self._decode_pallas = None
-        if impl in ("pallas", "auto"):
-            from ...ops.bp_pallas import make_bp_decoder_pallas, pallas_supported
+        # fast-path policy lives in ONE place (ops/bp_pallas.resolve_bp_impl),
+        # shared with sim.pipelines.make_ldpc_pipeline
+        from ...ops.bp_pallas import resolve_bp_impl
 
-            supported = (pallas_supported(self.graph, pallas_batch_tile)
-                         and jax.default_backend() == "tpu"
-                         and dtype == jnp.float32)
-            if supported:
-                self._decode_pallas = jax.jit(make_bp_decoder_pallas(
-                    self.graph, max_iter, early_stop, pallas_batch_tile))
-            elif impl == "pallas":
-                raise ValueError(
-                    "pallas BP unavailable: needs a TPU backend, float32, and "
-                    "a code whose edge tensors fit VMEM")
-        self.impl = "pallas" if self._decode_pallas is not None else "xla"
+        self._run_fn, self.impl, self._decode_pallas = resolve_bp_impl(
+            self.graph, self._decode, max_iter, early_stop, dtype,
+            impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True)
 
     def _run(self, llr):
-        if self._decode_pallas is None:
-            return self._decode(llr)
-        B = llr.shape[0]
-        tile = self._pallas_tile
-        pad = (-B) % tile
-        if pad:
-            llr = jnp.concatenate(
-                [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
-        bits, iters = self._decode_pallas(llr)
-        return bits[:B], iters[:B]
+        return self._run_fn(llr)
 
     def decode(self, llr, return_iterations: bool = False):
         """Decode ``[n]`` or ``[batch, n]`` LLRs to hard bits (full codeword).

@@ -659,9 +659,27 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # the per-chunk live-compose masks (pend_liveness) skip the ~60%
         # of pending composes that are never read before their reset
         comp_a, comp_b = pend_liveness(desc_k, asc_j, t, C)
-        triples = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]),
-                    comp_a[c], comp_b[c])
-                   for c in range(C - 1)]
+        keys = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]))
+                for c in range(C - 1)]
+        if not control_impl.startswith("unroll"):
+            # scan modes dispatch via lax.switch, whose compile cost is
+            # O(unique branches): union the masks across positions that
+            # share a (descend, pattern, ascend) triple — bit-exact
+            # (composing a dead level is the legacy behavior) — so the
+            # branch count stays O(unique triples) instead of ~O(C)
+            # (measured 16 → 63 variants at N=4096 without the union).
+            # The straight-line unroll modes trace per position anyway
+            # and keep the exact per-position masks.
+            union: dict[tuple, tuple[set, set]] = {}
+            for c in range(C - 1):
+                ca, cb = union.setdefault(keys[c], (set(), set()))
+                ca |= comp_a[c]
+                cb |= comp_b[c]
+            comp_a = tuple(frozenset(union[keys[c]][0])
+                           for c in range(C - 1))
+            comp_b = tuple(frozenset(union[keys[c]][1])
+                           for c in range(C - 1))
+        triples = [keys[c] + (comp_a[c], comp_b[c]) for c in range(C - 1)]
         uniq_t: dict[tuple, int] = {}
         tid = np.zeros(C - 1, np.int32)
         for c, tr in enumerate(triples):

@@ -61,6 +61,48 @@ def pallas_supported(graph: TannerGraph, batch_tile: int = 128) -> bool:
     return perm + msgs + work <= _VMEM_BUDGET_BYTES
 
 
+def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
+                    early_stop: bool, dtype, impl: str = "auto",
+                    batch_tile: int = 128, jit_pallas: bool = False):
+    """Single source of truth for the BP fast-path policy (used by
+    ``BPDecoder`` and ``sim.pipelines.make_ldpc_pipeline``).
+
+    Returns ``(decode_fn, resolved_impl, pallas_fn_or_None)``:
+    ``decode_fn(llr [B, n]) -> (bits, iters)`` pads unaligned batches to
+    the lane tile and runs the fused Pallas kernel when this backend
+    supports it (TPU, float32, edge tensors fit VMEM), else the given
+    XLA decode.  ``impl="xla"`` forces the portable path; ``"pallas"``
+    raises when unavailable; ``"auto"`` silently falls back.
+    """
+    import jax
+
+    supported = (impl in ("pallas", "auto")
+                 and pallas_supported(graph, batch_tile)
+                 and jax.default_backend() == "tpu"
+                 and dtype == jnp.float32)
+    if not supported:
+        if impl == "pallas":
+            raise ValueError(
+                "pallas BP unavailable: needs a TPU backend, float32, and "
+                "a code whose edge tensors fit VMEM")
+        return xla_decode, "xla", None
+    pallas_fn = make_bp_decoder_pallas(graph, max_iter, early_stop,
+                                       batch_tile)
+    if jit_pallas:
+        pallas_fn = jax.jit(pallas_fn)
+
+    def decode(llr):
+        B = llr.shape[0]
+        pad = (-B) % batch_tile
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
+        bits, iters = pallas_fn(llr)
+        return bits[:B], iters[:B]
+
+    return decode, "pallas", pallas_fn
+
+
 def _build_perm_tensor(graph: TannerGraph) -> np.ndarray:
     """P [dv, dc, n, m] one-hot edge permutation (see module docstring)."""
     dv, dc, n, m = graph.dv_max, graph.dc_max, graph.n, graph.m

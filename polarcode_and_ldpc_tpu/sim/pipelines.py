@@ -293,25 +293,15 @@ def make_ldpc_pipeline(
                                  variant, normalization, offset)
     elif decoder == "bp":
         graph = TannerGraph.from_H(H)
-        dec = make_bp_decoder(graph, max_iter, early_stop, dtype)
-        if bp_impl in ("pallas", "auto"):
-            # fused whole-decode BP kernel with per-tile early exit —
-            # measured 731 vs 231 Mbps (n=504, batch 4096, 3 dB, v5e);
-            # bit-identical incl. per-frame iteration counts (tests)
-            from ..ops.bp_pallas import make_bp_decoder_pallas, pallas_supported
+        # fused whole-decode BP kernel with per-tile early exit when
+        # available — measured 731 vs 231 Mbps (n=504, batch 4096, 3 dB,
+        # v5e); bit-identical incl. per-frame iteration counts (tests).
+        # Policy shared with BPDecoder (ops/bp_pallas.resolve_bp_impl).
+        from ..ops.bp_pallas import resolve_bp_impl
 
-            if (pallas_supported(graph, 128)
-                    and jax.default_backend() == "tpu"
-                    and dtype == jnp.float32):
-                dec_xla, dec_pallas = dec, make_bp_decoder_pallas(
-                    graph, max_iter, early_stop, 128)
-
-                def dec(llr, _p=dec_pallas, _x=dec_xla):
-                    return _p(llr) if llr.shape[0] % 128 == 0 else _x(llr)
-            elif bp_impl == "pallas":
-                raise ValueError(
-                    "pallas BP unavailable: needs a TPU backend, float32, "
-                    "and a code whose edge tensors fit VMEM")
+        dec, _, _ = resolve_bp_impl(
+            graph, make_bp_decoder(graph, max_iter, early_stop, dtype),
+            max_iter, early_stop, dtype, impl=bp_impl)
     elif decoder in ("ms", "min-sum", "nms", "oms"):
         graph = TannerGraph.from_H(H)
         dec = make_ms_decoder(graph, max_iter, normalization, offset, early_stop, dtype)

@@ -52,6 +52,9 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # Pallas kernels need a TPU backend — portable fallbacks on CPU
+        args.sc_impl = "unrolled"
+        args.scl_control = "split"
     import jax.numpy as jnp
 
     import polarcode_and_ldpc_tpu as fec
@@ -115,7 +118,8 @@ def main() -> None:
 
     # --- 10M-frame Monte-Carlo point -------------------------------------
     step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
-                               list_size=L, scl_body_impl="pallas",
+                               list_size=L,
+                               scl_body_impl="xla" if args.cpu else "pallas",
                                scl_chunk=64,
                                scl_control_impl=args.scl_control)
     sim = MonteCarloSimulator(step, K - 8, chunk_frames=8192,
@@ -136,7 +140,9 @@ def main() -> None:
          f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
 
     OUT.mkdir(parents=True, exist_ok=True)
-    (OUT / "serving.json").write_text(json.dumps(out, indent=2))
+    # CPU smoke runs must not clobber the committed TPU artifact
+    name = "serving_cpu_smoke.json" if args.cpu else "serving.json"
+    (OUT / name).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 
