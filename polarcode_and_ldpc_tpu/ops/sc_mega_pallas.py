@@ -134,23 +134,79 @@ def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
     instead.
 
     The batch tile auto-shrinks so the kernel's scoped VMEM fits the
-    core (large N needs smaller tiles); below a 64-lane tile the whole
-    decode falls back to the identical XLA program.
+    core; lane tiles below 128 are rejected by the Pallas TPU lowering,
+    so codes too large for one kernel (N ≥ 4096) run HYBRID: the top
+    f/g splits of the recursion execute at the XLA level and each
+    largest-fitting subtree is one kernel (the subtree decode is the
+    identical ``make_sc_core_nb`` program on its contiguous
+    bit-reversed-storage slice, so outputs stay bit-exact); the final
+    butterfly then runs at the XLA level.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     rev = np.asarray(bit_reverse_permutation(N))
-    core = make_sc_core_nb(N, frozen_mask[rev], dtype, fast_nodes)
+    frozen_rev = frozen_mask[rev]
+    core = make_sc_core_nb(N, frozen_rev, dtype, fast_nodes)
     rev_j = jnp.asarray(rev, jnp.int32)
-    while (batch_tile >= 128
-           and N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
-           > _SC_MEGA_VMEM_BUDGET):
-        batch_tile //= 2
-    # lane tiles below 128 are rejected by the Pallas TPU lowering
-    # (last block dim must be a multiple of 128), so N >= 4096 falls
-    # back to the identical XLA program
-    kernel_ok = (batch_tile >= 128
-                 and N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
+
+    def _fit_tile(size: int, tile: int) -> int:
+        while (tile >= 128
+               and size * tile * _SC_MEGA_BYTES_PER_ELEM
+               > _SC_MEGA_VMEM_BUDGET):
+            tile //= 2
+        return tile
+
+    batch_tile = max(_fit_tile(N, batch_tile), 128)
+    kernel_ok = (N * batch_tile * _SC_MEGA_BYTES_PER_ELEM
                  <= _SC_MEGA_VMEM_BUDGET)
+    # hybrid split: largest subtree size whose kernel fits a 128-lane tile
+    sub_n = N
+    while (sub_n > 128
+           and sub_n * 128 * _SC_MEGA_BYTES_PER_ELEM > _SC_MEGA_VMEM_BUDGET):
+        sub_n //= 2
+    hybrid_ok = not kernel_ok and sub_n >= 512  # tiny kernels aren't worth it
+
+    def _make_sub_kernel(off: int):
+        sub_core = make_sc_core_nb(sub_n, frozen_rev[off:off + sub_n],
+                                   dtype, fast_nodes)
+
+        def kern(a_ref, b_ref):
+            b_ref[:] = sub_core(a_ref[:])
+
+        def run(alpha):  # [sub_n, B] -> beta [sub_n, B] int8
+            B = alpha.shape[-1]
+            return pl.pallas_call(
+                kern,
+                grid=(B // batch_tile,),
+                in_specs=[pl.BlockSpec((sub_n, batch_tile),
+                                       lambda b: (0, b),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((sub_n, batch_tile),
+                                       lambda b: (0, b),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((sub_n, B), jnp.int8),
+                interpret=interpret,
+            )(alpha)
+
+        return run
+
+    if hybrid_ok:
+        sub_kernels = {off: _make_sub_kernel(off)
+                       for off in range(0, N, sub_n)
+                       if not frozen_rev[off:off + sub_n].all()}
+
+        def node_top(alpha, off: int, size: int):
+            # same shortcuts as make_sc_core_nb's top levels; kernels at
+            # the cut (all-frozen subtrees collapse without a kernel)
+            if frozen_rev[off:off + size].all():
+                return jnp.zeros(alpha.shape, jnp.int8)
+            if size == sub_n:
+                return sub_kernels[off](alpha)
+            half = size // 2
+            first_h, second_h = alpha[:half, :], alpha[half:, :]
+            beta_l = node_top(f_minsum(first_h, second_h), off, half)
+            sgn = 1.0 - 2.0 * beta_l.astype(alpha.dtype)
+            beta_r = node_top(second_h + sgn * first_h, off + half, half)
+            return jnp.concatenate([beta_l ^ beta_r, beta_r], axis=0)
 
     def kernel(llr_ref, u_ref):
         u_ref[:] = _polar_transform_nb(core(llr_ref[:]), N)
@@ -172,6 +228,8 @@ def make_sc_decoder_mega(N: int, frozen_mask: np.ndarray, dtype=jnp.float32,
                 out_shape=jax.ShapeDtypeStruct((N, B), jnp.int8),
                 interpret=interpret,
             )(llr_nb)
+        elif hybrid_ok and B % batch_tile == 0:
+            u_nb = _polar_transform_nb(node_top(llr_nb, 0, N), N)
         else:
             u_nb = _polar_transform_nb(core(llr_nb), N)
         # rows are bit-reversed storage: un-permute, batch back to front

@@ -290,3 +290,20 @@ def test_sc_mega_unaligned_batch_falls_back(rng):
     u2 = np.asarray(jax.jit(make_sc_decoder(
         N, fm, impl="mega-interpret"))(llr))
     np.testing.assert_array_equal(u1, u2)
+
+
+def test_sc_mega_hybrid_large_n(rng, monkeypatch):
+    # codes too large for one kernel run HYBRID: XLA top splits + one
+    # kernel per largest-fitting subtree — must stay bit-identical
+    # (forced here by shrinking the VMEM budget so N=1024 -> sub_n=512)
+    from polarcode_and_ldpc_tpu.ops import sc_mega_pallas as sm
+
+    N, K = 1024, 512
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((256, N)) * 2).astype(np.float32)
+    u_ref = np.asarray(jax.jit(make_sc_decoder(N, fm))(llr))
+    monkeypatch.setattr(sm, "_SC_MEGA_VMEM_BUDGET", 3 * 1024 * 1024)
+    u_h = np.asarray(jax.jit(
+        sm.make_sc_decoder_mega(N, fm, interpret=True))(llr))
+    np.testing.assert_array_equal(u_ref, u_h)
