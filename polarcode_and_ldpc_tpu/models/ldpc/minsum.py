@@ -55,11 +55,16 @@ def make_ms_decoder(graph: TannerGraph, max_iter: int = 50,
 
 class MSDecoder:
     """Batched Min-Sum decoder (reference API:
-    ``src/ldpc/decoder.py:208-355``), with optional offset."""
+    ``src/ldpc/decoder.py:208-355``), with optional offset.
+
+    ``impl``: ``"xla"`` (portable default), ``"pallas"`` (the fused TPU
+    kernel with the min-sum check rule — bit-identical), or ``"auto"``.
+    """
 
     def __init__(self, H: np.ndarray, max_iter: int = 50,
                  normalization: float = 1.0, offset: float = 0.0,
-                 early_stop: bool = True, dtype=jnp.float32):
+                 early_stop: bool = True, dtype=jnp.float32,
+                 impl: str = "xla", pallas_batch_tile: int = 128):
         self.H = np.asarray(H)
         self.m, self.n = self.H.shape
         self.max_iter = max_iter
@@ -71,11 +76,17 @@ class MSDecoder:
         self._decode = jax.jit(
             make_ms_decoder(self.graph, max_iter, normalization, offset, early_stop, dtype)
         )
+        from ...ops.bp_pallas import resolve_bp_impl
+
+        self._run_fn, self.impl, self._decode_pallas = resolve_bp_impl(
+            self.graph, self._decode, max_iter, early_stop, dtype,
+            impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True,
+            check_rule="ms", normalization=normalization, offset=offset)
 
     def decode(self, llr, return_iterations: bool = False):
         llr = jnp.asarray(llr, self.dtype)
         squeeze = llr.ndim == 1
-        bits, iters = self._decode(jnp.atleast_2d(llr))
+        bits, iters = self._run_fn(jnp.atleast_2d(llr))
         if squeeze:
             bits, iters = bits[0], iters[0]
         return (bits, iters) if return_iterations else bits
@@ -89,13 +100,17 @@ class NMSDecoder(MSDecoder):
     """Normalized Min-Sum (α-scaled)."""
 
     def __init__(self, H, max_iter: int = 50, normalization: float = 0.75,
-                 early_stop: bool = True, dtype=jnp.float32):
-        super().__init__(H, max_iter, normalization, 0.0, early_stop, dtype)
+                 early_stop: bool = True, dtype=jnp.float32,
+                 impl: str = "xla", pallas_batch_tile: int = 128):
+        super().__init__(H, max_iter, normalization, 0.0, early_stop, dtype,
+                         impl, pallas_batch_tile)
 
 
 class OMSDecoder(MSDecoder):
     """Offset Min-Sum (β-offset)."""
 
     def __init__(self, H, max_iter: int = 50, offset: float = 0.5,
-                 early_stop: bool = True, dtype=jnp.float32):
-        super().__init__(H, max_iter, 1.0, offset, early_stop, dtype)
+                 early_stop: bool = True, dtype=jnp.float32,
+                 impl: str = "xla", pallas_batch_tile: int = 128):
+        super().__init__(H, max_iter, 1.0, offset, early_stop, dtype,
+                         impl, pallas_batch_tile)

@@ -63,7 +63,9 @@ def pallas_supported(graph: TannerGraph, batch_tile: int = 128) -> bool:
 
 def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
                     early_stop: bool, dtype, impl: str = "auto",
-                    batch_tile: int = 128, jit_pallas: bool = False):
+                    batch_tile: int = 128, jit_pallas: bool = False,
+                    check_rule: str = "bp", normalization: float = 1.0,
+                    offset: float = 0.0):
     """Single source of truth for the BP fast-path policy (used by
     ``BPDecoder`` and ``sim.pipelines.make_ldpc_pipeline``).
 
@@ -87,7 +89,9 @@ def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
                 "a code whose edge tensors fit VMEM")
         return xla_decode, "xla", None
     pallas_fn = make_bp_decoder_pallas(graph, max_iter, early_stop,
-                                       batch_tile)
+                                       batch_tile, check_rule=check_rule,
+                                       normalization=normalization,
+                                       offset=offset)
     if jit_pallas:
         pallas_fn = jax.jit(pallas_fn)
 
@@ -124,13 +128,26 @@ def make_bp_decoder_pallas(
     early_stop: bool = True,
     batch_tile: int = 128,
     interpret: bool = False,
+    check_rule: str = "bp",
+    normalization: float = 1.0,
+    offset: float = 0.0,
 ):
     """Build the fused decoder: ``decode(llr [B, n]) → (bits int8 [B, n],
     iters int32 [B])``.  B must be a multiple of ``batch_tile`` (the public
-    wrapper pads)."""
+    wrapper pads).
+
+    ``check_rule="bp"`` is the sum-product update (tanh/atanh, reference
+    ``decoder.py:62-96``); ``"ms"`` is the min-sum family (sign-product ×
+    leave-one-out min magnitude, reference ``decoder.py:257-287``) with the
+    NMS ``normalization`` α and OMS ``offset`` β knobs — bit-identical to
+    ``models/ldpc/minsum.ms_check_update`` in float32 (sign products and
+    mins are association-free, so the in-kernel sequential pre/suffix
+    sweeps reproduce the XLA ``associative_scan`` exactly)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if check_rule not in ("bp", "ms"):
+        raise ValueError(f"unknown check_rule {check_rule!r}")
     g = graph
     dv, dc, n, m = g.dv_max, g.dc_max, g.n, g.m
     Bt = batch_tile
@@ -162,34 +179,83 @@ def make_bp_decoder_pallas(
         def iteration(it, _):
             @pl.when(state[0, 0] == 0)
             def _():
-                # --- check-node update (decoder.py:62-96) -------------------
-                ts = []
-                for s in range(dc):
-                    acc = jnp.zeros((Bt, m), jnp.float32)
-                    for sp in range(dv):
-                        acc += jax.lax.dot_general(
-                            V[sp], P_ref[sp, s],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    t = jnp.clip(jnp.tanh(acc * 0.5), -_TANH_CLIP, _TANH_CLIP)
-                    ts.append(jnp.where(cmask[s][None, :] > 0, t, 1.0))
-                # exclusive products over the dc slots (no division)
-                pre = [None] * dc
-                suf = [None] * dc
-                run = jnp.ones((Bt, m), jnp.float32)
-                for s in range(dc):
-                    pre[s] = run
-                    run = run * ts[s]
-                run = jnp.ones((Bt, m), jnp.float32)
-                for s in range(dc - 1, -1, -1):
-                    suf[s] = run
-                    run = run * ts[s]
-                for s in range(dc):
-                    prod = jnp.clip(pre[s] * suf[s], -_TANH_CLIP, _TANH_CLIP)
-                    # Mosaic has no atanh primitive; this is XLA's own
-                    # lowering (atanh = (log1p(x) − log1p(−x))/2), so the
-                    # result stays bit-identical to the XLA decoder
-                    C[s] = jnp.log1p(prod) - jnp.log1p(-prod)
+                # --- check-node update ---------------------------------------
+                if check_rule == "bp":
+                    # sum-product (decoder.py:62-96)
+                    ts = []
+                    for s in range(dc):
+                        acc = jnp.zeros((Bt, m), jnp.float32)
+                        for sp in range(dv):
+                            acc += jax.lax.dot_general(
+                                V[sp], P_ref[sp, s],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        t = jnp.clip(jnp.tanh(acc * 0.5),
+                                     -_TANH_CLIP, _TANH_CLIP)
+                        ts.append(jnp.where(cmask[s][None, :] > 0, t, 1.0))
+                    # exclusive products over the dc slots (no division)
+                    pre = [None] * dc
+                    suf = [None] * dc
+                    run = jnp.ones((Bt, m), jnp.float32)
+                    for s in range(dc):
+                        pre[s] = run
+                        run = run * ts[s]
+                    run = jnp.ones((Bt, m), jnp.float32)
+                    for s in range(dc - 1, -1, -1):
+                        suf[s] = run
+                        run = run * ts[s]
+                    for s in range(dc):
+                        prod = jnp.clip(pre[s] * suf[s],
+                                        -_TANH_CLIP, _TANH_CLIP)
+                        # Mosaic has no atanh primitive; this is XLA's own
+                        # lowering (atanh = (log1p(x) − log1p(−x))/2), so the
+                        # result stays bit-identical to the XLA decoder
+                        C[s] = jnp.log1p(prod) - jnp.log1p(-prod)
+                else:
+                    # min-sum family (decoder.py:257-287; minsum.py):
+                    # sign(0)=0 zero-propagation preserved; masked slots are
+                    # the identities (sign 1, magnitude +inf); a fully-masked
+                    # leave-one-out (degree-1 row) yields ±inf/NaN → 0,
+                    # matching the XLA path's nan_to_num.
+                    inf = jnp.float32(jnp.inf)
+                    sgs, mgs = [], []
+                    for s in range(dc):
+                        acc = jnp.zeros((Bt, m), jnp.float32)
+                        for sp in range(dv):
+                            acc += jax.lax.dot_general(
+                                V[sp], P_ref[sp, s],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        on = cmask[s][None, :] > 0
+                        sgs.append(jnp.where(on, jnp.sign(acc), 1.0))
+                        mgs.append(jnp.where(on, jnp.abs(acc), inf))
+                    pre_s = [None] * dc
+                    suf_s = [None] * dc
+                    pre_m = [None] * dc
+                    suf_m = [None] * dc
+                    run = jnp.ones((Bt, m), jnp.float32)
+                    for s in range(dc):
+                        pre_s[s] = run
+                        run = run * sgs[s]
+                    run = jnp.ones((Bt, m), jnp.float32)
+                    for s in range(dc - 1, -1, -1):
+                        suf_s[s] = run
+                        run = run * sgs[s]
+                    run = jnp.full((Bt, m), inf, jnp.float32)
+                    for s in range(dc):
+                        pre_m[s] = run
+                        run = jnp.minimum(run, mgs[s])
+                    run = jnp.full((Bt, m), inf, jnp.float32)
+                    for s in range(dc - 1, -1, -1):
+                        suf_m[s] = run
+                        run = jnp.minimum(run, mgs[s])
+                    for s in range(dc):
+                        mg = jnp.minimum(pre_m[s], suf_m[s])
+                        if offset:
+                            mg = jnp.maximum(mg - jnp.float32(offset), 0.0)
+                        out = (pre_s[s] * suf_s[s]) * mg
+                        out = out * jnp.float32(normalization)
+                        C[s] = jnp.where(jnp.isfinite(out), out, 0.0)
                 # --- variable-node update (decoder.py:98-122) ---------------
                 c2v = []
                 for sp in range(dv):

@@ -304,7 +304,16 @@ def make_ldpc_pipeline(
             max_iter, early_stop, dtype, impl=bp_impl)
     elif decoder in ("ms", "min-sum", "nms", "oms"):
         graph = TannerGraph.from_H(H)
-        dec = make_ms_decoder(graph, max_iter, normalization, offset, early_stop, dtype)
+        # same fused-kernel policy as the BP branch, with the min-sum
+        # check rule (measured 414 vs 175 Mbps, NMS n=504 batch 4096, v5e)
+        from ..ops.bp_pallas import resolve_bp_impl
+
+        dec, _, _ = resolve_bp_impl(
+            graph,
+            make_ms_decoder(graph, max_iter, normalization, offset,
+                            early_stop, dtype),
+            max_iter, early_stop, dtype, impl=bp_impl,
+            check_rule="ms", normalization=normalization, offset=offset)
     else:
         raise ValueError(f"unknown LDPC decoder: {decoder!r}")
 

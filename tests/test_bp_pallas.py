@@ -56,3 +56,35 @@ def test_pallas_gating():
     assert d.impl == "xla"
     with pytest.raises(ValueError):
         fec.BPDecoder(H, impl="pallas")
+
+
+@pytest.mark.parametrize("norm,offset", [(1.0, 0.0), (0.75, 0.0), (1.0, 0.5)])
+def test_pallas_minsum_matches_xla(norm, offset, rng):
+    """Min-sum check rule in the fused kernel (MS/NMS/OMS) is bit-identical
+    to the XLA min-sum decoder in interpret mode."""
+    from polarcode_and_ldpc_tpu.models.ldpc.minsum import MSDecoder
+
+    H = fec.regular_construction(96, 48, 3, 6, seed=3)
+    enc = fec.LDPCEncoder(96, 48, H=H)
+    dec_x = MSDecoder(H, max_iter=12, normalization=norm, offset=offset)
+    dec_p = make_bp_decoder_pallas(dec_x.graph, max_iter=12,
+                                   early_stop=True, batch_tile=32,
+                                   interpret=True, check_rule="ms",
+                                   normalization=norm, offset=offset)
+    chan = fec.AWGNChannel(2.0, seed=11)
+    msgs = rng.integers(0, 2, (64, enc.k))
+    llr = np.asarray(chan.transmit(enc.encode(msgs)), np.float32)
+    b_p, i_p = dec_p(jnp.asarray(llr))
+    b_x, i_x = dec_x.decode(llr, return_iterations=True)
+    np.testing.assert_array_equal(np.asarray(b_p), np.asarray(b_x))
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_minsum_impl_gating():
+    H = fec.regular_construction(96, 48, 3, 6, seed=1)
+    from polarcode_and_ldpc_tpu.models.ldpc.minsum import MSDecoder
+
+    d = MSDecoder(H, impl="auto")
+    assert d.impl == "xla"  # CPU falls back
+    with pytest.raises(ValueError):
+        MSDecoder(H, impl="pallas")
