@@ -51,6 +51,10 @@ def main() -> None:
                     choices=["xla", "pallas", "auto"],
                     help="LDPC BP implementation (pallas = fused kernel "
                     "with per-tile early exit, 3.2x on v5e)")
+    ap.add_argument("--ldpc-decoder", default="bp",
+                    choices=["bp", "ms", "nms", "oms"],
+                    help="LDPC message-passing rule (min-sum family rides "
+                    "the same fused kernel via check_rule='ms')")
     ap.add_argument("--chunks-per-dispatch", type=int, default=1,
                     help="device chunks per host dispatch (amortizes the "
                     "remote-tunnel round-trip)")
@@ -107,14 +111,19 @@ def main() -> None:
 
     if not args.skip_ldpc:
         enc = fec.LDPCEncoder(504, 252, dv=3, dc=6, seed=42)
-        step = make_ldpc_pipeline(enc.H, enc.G, None, decoder="bp",
+        step = make_ldpc_pipeline(enc.H, enc.G, None,
+                                  decoder=args.ldpc_decoder,
                                   max_iter=20,
+                                  normalization=(0.75 if args.ldpc_decoder
+                                                 == "nms" else 1.0),
+                                  offset=(0.5 if args.ldpc_decoder == "oms"
+                                          else 0.0),
                                   message_idx=enc.info_positions,
                                   bp_impl=args.bp_impl)
         sim = MonteCarloSimulator(step, enc.k, chunk_frames=args.ldpc_chunk,
                                   chunks_per_dispatch=args.chunks_per_dispatch)
-        _log(f"ldpc BP: {args.frames} frames @2 dB, chunk {args.ldpc_chunk} "
-             "(compiling) ...")
+        _log(f"ldpc {args.ldpc_decoder}: {args.frames} frames @2 dB, "
+             f"chunk {args.ldpc_chunk} (compiling) ...")
         t0 = time.perf_counter()
         sim.run(2 * args.ldpc_chunk, seed=0, extra_args=(jnp.float32(2.0),))
         _log(f"ldpc: compile+warmup {time.perf_counter() - t0:.1f}s")
@@ -124,7 +133,7 @@ def main() -> None:
         d = res.to_dict()
         d["wall_seconds_post_warmup"] = wall
         d["bp_impl"] = args.bp_impl
-        out["ldpc_bp_n504_2db_1M"] = d
+        out[f"ldpc_{args.ldpc_decoder}_n504_2db_1M"] = d
         _log(f"ldpc: {d['throughput_mbps']:.1f} Mbps end-to-end, "
              f"BER {d['ber']:.2e} FER {d['fer']:.2e}")
 

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""A/B the flagship SCL chained-scan batch shape on the real TPU.
+
+The bench upgrade stage runs unroll-kernel / chunk 64 at batch 8192 ×
+scan 16 (131072 frames per dispatch).  This probe holds total frames
+fixed and sweeps the (batch, scan_chunks) split to see whether wider
+batches (fewer scan steps) or narrower ones (more) win.
+
+Usage: python tools/scl_batch_shape_ab.py [--shapes 8192x16,16384x8,4096x32]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="16384x8,4096x32",
+                    help="comma list of BATCHxSCAN (8192x16 is the "
+                    "committed bench config: 240.8 Mbps)")
+    args = ap.parse_args()
+
+    import bench
+
+    for shape in args.shapes.split(","):
+        batch, scan = (int(v) for v in shape.split("x"))
+        t0 = time.time()
+        r = bench.bench_polar_scl8(batch=batch, control_impl="unroll-kernel",
+                                   chunk=64, scan_chunks=scan)
+        print(f"shape {batch}x{scan}: {r['mbps']:.1f} Mbps "
+              f"(BER {r['ber_3db']:.2e}, total {time.time()-t0:.0f}s)",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
