@@ -180,12 +180,14 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
             "scan_chunks": scan_chunks, "ber_3db": ber, "roofline": roof}
 
 
-def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16) -> dict:
+def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16,
+                  decoder: str = "bp", impl: str = "auto") -> dict:
     # fused whole-decode BP kernel with per-tile early exit (impl="auto"
     # resolves to Pallas on TPU: 731 vs 231 Mbps measured), chained
     # on-chip with an on-device error count (same methodology as the
     # SCL/SC stages — per-dispatch tunnel round-trips otherwise tax the
-    # measurement)
+    # measurement).  ``decoder``/``impl`` let probes A/B the min-sum
+    # family (tools/minsum_tpu_probe.py) with this exact harness.
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -199,7 +201,14 @@ def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16) -> dict:
 
     n, k, snr_db = 504, 252, 3.0
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
-    dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True, impl="auto")
+    if decoder == "bp":
+        dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True, impl=impl)
+    else:
+        from polarcode_and_ldpc_tpu.models.ldpc.minsum import (
+            MSDecoder, NMSDecoder, OMSDecoder)
+
+        ctor = {"ms": MSDecoder, "nms": NMSDecoder, "oms": OMSDecoder}[decoder]
+        dec = ctor(enc.H, max_iter=20, early_stop=True, impl=impl)
     nb = scan_chunks * batch
     msgs = np.random.default_rng(1).integers(0, 2, (nb, enc.k)).astype(np.int8)
     _log("ldpc: encoding + channel (host) ...")
@@ -331,9 +340,12 @@ def main() -> None:
     # chunk 64) are ~1.8x the safe line but compile ~4.5-8 min over the
     # tunnel; attempt them LAST so a stall/kill can only lose the upgrade,
     # never the safe lines above (the driver reads the last complete line)
+    # batch-shape sweep at fixed 131072 total frames (v5e, 2026-08-18,
+    # tools/scl_batch_shape_ab.py): 16384x8 215.1, 8192x16 240.8,
+    # 4096x32 246.8, 2048x64 238.9 Mbps — 4096x32 is the optimum
     try:
-        polar_p = bench_polar_scl8(control_impl="unroll-kernel", chunk=64,
-                                   scan_chunks=16)
+        polar_p = bench_polar_scl8(batch=4096, control_impl="unroll-kernel",
+                                   chunk=64, scan_chunks=32)
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"polar pallas upgrade failed (keeping xla line): {e!r}")
         return
@@ -348,7 +360,8 @@ def main() -> None:
             scl_body="in-kernel",
             scl_control="unroll-kernel",
             scl_chunk=64,
-            scl_scan_chunks=16,
+            scl_batch=4096,
+            scl_scan_chunks=32,
             xla_body_mbps=round(polar["mbps"], 3),
         )
         print(json.dumps(result))

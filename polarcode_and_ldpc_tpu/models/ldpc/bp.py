@@ -127,6 +127,12 @@ class BPDecoder:
     when available, else xla).
     """
 
+    # Pallas check rule; the min-sum subclass (minsum.MSDecoder) overrides
+    # these — the resolve/run/decode machinery below is shared.
+    _check_rule = "bp"
+    normalization = 1.0
+    offset = 0.0
+
     def __init__(self, H: np.ndarray, max_iter: int = 50, early_stop: bool = True,
                  dtype=jnp.float32, impl: str = "xla", pallas_batch_tile: int = 128):
         self.H = np.asarray(H)
@@ -135,7 +141,7 @@ class BPDecoder:
         self.early_stop = early_stop
         self.graph = TannerGraph.from_H(self.H)
         self.dtype = dtype
-        self._decode = jax.jit(make_bp_decoder(self.graph, max_iter, early_stop, dtype))
+        self._decode = jax.jit(self._make_xla_decoder())
         self._pallas_tile = pallas_batch_tile
         # fast-path policy lives in ONE place (ops/bp_pallas.resolve_bp_impl),
         # shared with sim.pipelines.make_ldpc_pipeline
@@ -143,7 +149,13 @@ class BPDecoder:
 
         self._run_fn, self.impl, self._decode_pallas = resolve_bp_impl(
             self.graph, self._decode, max_iter, early_stop, dtype,
-            impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True)
+            impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True,
+            check_rule=self._check_rule, normalization=self.normalization,
+            offset=self.offset)
+
+    def _make_xla_decoder(self):
+        return make_bp_decoder(self.graph, self.max_iter, self.early_stop,
+                               self.dtype)
 
     def _run(self, llr):
         return self._run_fn(llr)

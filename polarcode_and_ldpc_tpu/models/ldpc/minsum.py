@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bp import make_bp_decoder, _exclusive_products
+from .bp import BPDecoder, make_bp_decoder, _exclusive_products
 from .graph import TannerGraph
 
 
@@ -53,43 +53,30 @@ def make_ms_decoder(graph: TannerGraph, max_iter: int = 50,
     return make_bp_decoder(graph, max_iter, early_stop, dtype, check_update=check)
 
 
-class MSDecoder:
+class MSDecoder(BPDecoder):
     """Batched Min-Sum decoder (reference API:
     ``src/ldpc/decoder.py:208-355``), with optional offset.
 
-    ``impl``: ``"xla"`` (portable default), ``"pallas"`` (the fused TPU
-    kernel with the min-sum check rule — bit-identical), or ``"auto"``.
+    Shares the resolve/run/decode machinery with ``BPDecoder`` (only the
+    check rule differs).  ``impl``: ``"xla"`` (portable default),
+    ``"pallas"`` (the fused TPU kernel with the min-sum check rule —
+    bit-identical), or ``"auto"``.
     """
+
+    _check_rule = "ms"
 
     def __init__(self, H: np.ndarray, max_iter: int = 50,
                  normalization: float = 1.0, offset: float = 0.0,
                  early_stop: bool = True, dtype=jnp.float32,
                  impl: str = "xla", pallas_batch_tile: int = 128):
-        self.H = np.asarray(H)
-        self.m, self.n = self.H.shape
-        self.max_iter = max_iter
         self.normalization = normalization
         self.offset = offset
-        self.early_stop = early_stop
-        self.graph = TannerGraph.from_H(self.H)
-        self.dtype = dtype
-        self._decode = jax.jit(
-            make_ms_decoder(self.graph, max_iter, normalization, offset, early_stop, dtype)
-        )
-        from ...ops.bp_pallas import resolve_bp_impl
+        super().__init__(H, max_iter, early_stop, dtype, impl,
+                         pallas_batch_tile)
 
-        self._run_fn, self.impl, self._decode_pallas = resolve_bp_impl(
-            self.graph, self._decode, max_iter, early_stop, dtype,
-            impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True,
-            check_rule="ms", normalization=normalization, offset=offset)
-
-    def decode(self, llr, return_iterations: bool = False):
-        llr = jnp.asarray(llr, self.dtype)
-        squeeze = llr.ndim == 1
-        bits, iters = self._run_fn(jnp.atleast_2d(llr))
-        if squeeze:
-            bits, iters = bits[0], iters[0]
-        return (bits, iters) if return_iterations else bits
+    def _make_xla_decoder(self):
+        return make_ms_decoder(self.graph, self.max_iter, self.normalization,
+                               self.offset, self.early_stop, self.dtype)
 
     def __repr__(self) -> str:
         return (f"MSDecoder(n={self.n}, m={self.m}, max_iter={self.max_iter}, "

@@ -119,14 +119,16 @@ def measure_ldpc_throughput(
     enc = LDPCEncoder(n, k, H=H, dv=dv, dc=dc, seed=seed)
     dec = (BPDecoder(enc.H, max_iter=max_iter, impl=bp_impl)
            if decoder == "bp"
-           else MSDecoder(enc.H, max_iter=max_iter, normalization=normalization))
+           else MSDecoder(enc.H, max_iter=max_iter,
+                          normalization=normalization, impl=bp_impl))
     chan = AWGNChannel(snr_db=snr_db, seed=seed)
     msgs = jnp.asarray(
         np.random.default_rng(seed).integers(0, 2, (batch, enc.k)), jnp.int8)
 
-    # BPDecoder._run routes tile-aligned batches through the Pallas
-    # kernel and remainders through the XLA twin (bit-identical)
-    run = dec._run if hasattr(dec, "_run") else dec._decode
+    # _run routes tile-aligned batches through the Pallas kernel and
+    # remainders through the XLA twin (bit-identical); shared by the
+    # BP and min-sum decoders
+    run = dec._run
     t_enc = time_fn(enc._encode_jit, msgs)
     llr = jax.block_until_ready(chan.transmit(enc.encode(msgs)))
     t_dec = time_fn(run, llr)

@@ -29,7 +29,6 @@ def _awgn_llrs_host(cw: np.ndarray, snr_db: float, seed: int) -> np.ndarray:
 def main() -> int:
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     import polarcode_and_ldpc_tpu as fec
     from polarcode_and_ldpc_tpu.models.ldpc.minsum import (
@@ -61,44 +60,16 @@ def main() -> int:
         if dp.impl != "pallas" or not (bits_eq and iters_eq):
             return 1
 
-    # --- stage 2: chained throughput A/B ----------------------------------
-    batch, scan_chunks = 4096, 16
-    nb = scan_chunks * batch
-    msgs = np.random.default_rng(1).integers(0, 2, (nb, enc.k)).astype(np.int8)
-    cw = (msgs.astype(np.int64) @ np.asarray(enc.G)) % 2
-    llr3 = jnp.asarray(_awgn_llrs_host(cw, snr_db, seed=43)).reshape(
-        scan_chunks, batch, n)
-    msgs3 = jnp.asarray(msgs.reshape(scan_chunks, batch, enc.k))
-    info_idx = jnp.asarray(enc.info_positions, jnp.int32)
+    # --- stage 2: chained throughput A/B (bench harness) ------------------
+    # reuses bench.bench_ldpc_bp verbatim so methodology fixes propagate
+    import bench
 
-    for impl in ("pallas", "xla"):
-        dec = NMSDecoder(enc.H, max_iter=20,
-                         impl="auto" if impl == "pallas" else "xla")
-        run = dec._decode_pallas if dec.impl == "pallas" else dec._decode
-
-        @jax.jit
-        def scan_decode(llrs, m3, run=run):
-            def step(_, x):
-                bits, _it = run(x["llr"])
-                return None, jnp.sum(bits[:, info_idx] != x["msg"],
-                                     dtype=jnp.int32)
-            return jnp.sum(lax.scan(step, None, {"llr": llrs, "msg": m3})[1])
-
-        t0 = time.time()
-        errs = jax.block_until_ready(scan_decode(llr3, msgs3))
-        print(f"stage2 NMS {dec.impl}: compile+first {time.time()-t0:.1f}s",
-              flush=True)
-        best = 1e30
-        for _ in range(3):
-            t0 = time.time()
-            e = scan_decode(llr3, msgs3)
-            float(np.asarray(e))  # force completion over the tunnel
-            best = min(best, time.time() - t0)
-        mbps = nb * enc.k / best / 1e6
-        ber = float(np.asarray(errs)) / (nb * enc.k)
-        print(f"stage2 NMS {dec.impl}: {mbps:.1f} Mbps "
-              f"({best*1e3:.2f} ms / {nb} frames), BER@3dB {ber:.2e}",
-              flush=True)
+    for impl in ("auto", "xla"):
+        r = bench.bench_ldpc_bp(decoder="nms", impl=impl)
+        print(f"stage2 NMS {r['bp_impl']}: {r['mbps']:.1f} Mbps "
+              f"({r['seconds_per_batch']*1e3:.2f} ms / "
+              f"{r['batch'] * r['scan_chunks']} frames), "
+              f"BER@3dB {r['ber_3db']:.2e}", flush=True)
     return 0
 
 

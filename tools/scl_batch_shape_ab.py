@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """A/B the flagship SCL chained-scan batch shape on the real TPU.
 
-The bench upgrade stage runs unroll-kernel / chunk 64 at batch 8192 ×
-scan 16 (131072 frames per dispatch).  This probe holds total frames
-fixed and sweeps the (batch, scan_chunks) split to see whether wider
-batches (fewer scan steps) or narrower ones (more) win.
+The bench upgrade stage runs unroll-kernel / chunk 64 over 131072
+frames per dispatch.  This probe holds total frames fixed and sweeps
+the (batch, scan_chunks) split.  Measured (v5e, 2026-08-18):
+16384x8 215.1, 8192x16 240.8, 4096x32 246.8, 2048x64 238.9 Mbps —
+bench.py's upgrade stage now uses 4096x32.
 
 Usage: python tools/scl_batch_shape_ab.py [--shapes 8192x16,16384x8,4096x32]
 """
@@ -20,8 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="16384x8,4096x32",
-                    help="comma list of BATCHxSCAN (8192x16 is the "
-                    "committed bench config: 240.8 Mbps)")
+                    help="comma list of BATCHxSCAN")
     args = ap.parse_args()
 
     import bench
