@@ -159,6 +159,112 @@ def _info_leaf(a, pm, Lsz, leaf_impl: str = "onehot"):
     return bits[:, None, :], pm2, R
 
 
+def _prune_2l(cand, Lsz, leaf_impl: str = "onehot"):
+    """Stable top-L prune over ordered candidates ``cand [2L, B]`` (first
+    half = "keep/bit-0" candidates, second half = "flip/bit-1").  Returns
+    ``(pm [L, B], second [L, B] ∈ {0,1} in cand.dtype, R [L, L, B])`` —
+    the selected metrics, a second-half indicator per surviving slot, and
+    the list permutation.  Same ordering/tie rules as ``_info_leaf``
+    (stable descending; ties prefer the lower candidate index)."""
+    if leaf_impl == "sort":
+        idx = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+        sorted_neg, sorted_idx = lax.sort(
+            (-cand, idx), dimension=0, is_stable=True, num_keys=1)
+        top_idx = sorted_idx[:Lsz]
+        pm2 = -sorted_neg[:Lsz]
+        second = (top_idx >= Lsz).astype(cand.dtype)
+        src = top_idx % Lsz
+        R = (src[:, None, :]
+             == jnp.arange(Lsz, dtype=jnp.int32)[None, :, None]).astype(
+                 cand.dtype)
+        return pm2, second, R
+    S2 = _stable_topk_onehot(cand, Lsz)
+    pm2 = _sel_metrics(S2, cand)
+    second = jnp.sum(S2[:, Lsz:, :], axis=1)
+    R = S2[:, :Lsz, :] + S2[:, Lsz:, :]
+    return pm2, second, R
+
+
+def _tree_sum(x, axis: int = 1):
+    """Deterministic halving-tree reduction along ``axis`` (power-of-two
+    extent).  Used instead of ``jnp.sum`` wherever the NumPy twin must
+    reproduce the float addition order bit-exactly (XLA reduce order is
+    unspecified)."""
+    n = x.shape[axis]
+    while n > 1:
+        h = n // 2
+        x = (lax.slice_in_dim(x, 0, h, axis=axis)
+             + lax.slice_in_dim(x, h, n, axis=axis))
+        n = h
+    return jnp.squeeze(x, axis=axis)
+
+
+def _rate1_fast(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """Fast rate-1 (all-info) list node — SSCL semantics (Hashemi et al.,
+    "Fast Simplified Successive-Cancellation List Decoding", adapted to
+    this framework's log-likelihood metrics; an *approximate* opt-in mode,
+    see ``node_mode`` in ``make_scl_decoder_scan``).
+
+    Every position is hard-decided at the node root (``llr ≥ 0 → 0``, the
+    reference's leaf rule) and the path metric pays the hard penalty
+    ``Σ −logaddexp(0, −|a|)``; then ``K = min(L−1, S)`` branching stages
+    walk the least-reliable positions in increasing ``|a|`` order (ties by
+    position), each offering every path a flip of its s-th least-reliable
+    position at metric cost ``−|a|_(s)`` through the standard stable top-L
+    prune.  K = L−1 stages suffice: under hard metrics a path flipping more
+    positions can never enter the surviving list (Hashemi Thm. 1).
+
+    ``alpha [L, S, B]``, ``pm [L, B]`` → ``(beta [L, S, B] int8 — the node
+    codeword, pm, R [L, L, B])``.  XLA-only (uses ``lax.sort`` and scatter
+    forms Mosaic does not support)."""
+    S_node, batch = alpha.shape[1], alpha.shape[2]
+    dtype = alpha.dtype
+    mags = jnp.abs(alpha)
+    hard = (alpha < 0).astype(jnp.int8)
+    pm = pm - _tree_sum(jnp.logaddexp(jnp.zeros_like(mags), -mags), axis=1)
+    K = min(Lsz - 1, S_node)
+    if K == 0:  # L = 1: plain hard decision, no branching
+        return hard, pm, None
+    pos = lax.broadcasted_iota(jnp.int32, mags.shape, 1)
+    smags, sidx = lax.sort((mags, pos), dimension=1, is_stable=True,
+                           num_keys=1)
+    magsK = smags[:, :K, :]                      # [L, K, B]
+    idxK = sidx[:, :K, :].astype(dtype)          # exact small ints in float
+    fdec = jnp.zeros((Lsz, K, batch), dtype)
+    R_tot = None
+    for s in range(K):
+        cand = jnp.concatenate([pm, pm - magsK[:, s, :]], axis=0)
+        pm, flip, R = _prune_2l(cand, Lsz, leaf_impl)
+        magsK = _apply_perm(R, magsK)
+        idxK = _apply_perm(R, idxK)
+        fdec = _apply_perm(R, fdec)
+        fdec = fdec.at[:, s, :].set(flip)
+        R_tot = R if R_tot is None else _compose(R, R_tot)
+    hard = _apply_perm_bits(R_tot, hard)
+    posS = lax.broadcasted_iota(jnp.int32, (Lsz, K, S_node, batch), 2)
+    idx_i = jnp.round(idxK).astype(jnp.int32)
+    flips = jnp.sum((posS == idx_i[:, :, None, :]).astype(dtype)
+                    * fdec[:, :, None, :], axis=1)
+    beta = hard ^ jnp.round(flips).astype(jnp.int8)
+    return beta, pm, R_tot
+
+
+def _rep_fast(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """Fast repetition node (all positions frozen except the last leaf in
+    decode order): the node codeword is a single repeated bit, so the 2^1
+    candidates are scored whole — ONE stable top-L prune instead of S leaf
+    selections.  Candidate metrics ``pm + Σ_i log P(b | a_i)`` with the
+    deterministic tree-sum order (NumPy-twin bit-exact).  Approximate vs
+    the exact leaf-by-leaf recursion (which scores frozen leaves on
+    min-sum-combined inner LLRs); opt-in via ``node_mode="fast"``."""
+    d0, d1 = _d0_d1(alpha)
+    cand = jnp.concatenate([pm + _tree_sum(d0, axis=1),
+                            pm + _tree_sum(d1, axis=1)], axis=0)
+    pm, bit, R = _prune_2l(cand, Lsz, leaf_impl)
+    beta = jnp.broadcast_to(bit.astype(jnp.int8)[:, None, :], alpha.shape)
+    return beta, pm, R
+
+
 def _identity_r(Lsz, batch, dtype):
     """Identity list permutation ``[L, L, B]``."""
     return jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
@@ -190,7 +296,8 @@ def _ctz(x: int) -> int:
 
 
 def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
-                     leaf_impl: str = "onehot", algebra=None):
+                     leaf_impl: str = "onehot", algebra=None,
+                     node_mode: str = "exact"):
     """Specialized size-S subtree decoder for one *static* frozen pattern.
 
     ``body(alpha [L,S,B], pm [L,B]) → (beta [L,S,B] int8, pm, R [L,L,B])``;
@@ -210,6 +317,11 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     """
     flags = np.asarray(flags, bool)
     S = len(flags)
+    assert node_mode in ("exact", "fast"), node_mode
+    if node_mode == "fast":
+        # the fast nodes use lax.sort / scatter forms the Pallas kernel
+        # algebra cannot express — XLA broadcast algebra only
+        assert algebra is None, "node_mode='fast' is XLA-only"
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
     apply_perm = algebra["apply_perm"]
@@ -232,6 +344,11 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
             return jnp.zeros(alpha.shape, jnp.int8), pm + rate0_metric(alpha), None
         if size == 1:
             return info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
+        if node_mode == "fast":
+            if not sub.any():        # rate-1: all-info subtree
+                return _rate1_fast(alpha, pm, Lsz, leaf_impl)
+            if sub[:-1].all() and not sub[-1]:   # repetition subtree
+                return _rep_fast(alpha, pm, Lsz, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
@@ -509,7 +626,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           leaf_impl: str = "onehot",
                           body_impl: str = "xla",
                           control_impl: str = "split",
-                          batch_tile: int = 128):
+                          batch_tile: int = 128,
+                          node_mode: str = "exact"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -539,6 +657,15 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
       ``"unroll-kernel"`` (hybrid per-chunk kernels); unaligned batches
       take the bit-identical straight-line XLA program.
       ``"mega-interpret"`` is the CPU-testable interpret-mode twin.
+
+    ``node_mode``: ``"exact"`` (default — reference-exact leaf-by-leaf
+    semantics) or ``"fast"`` — SSCL fast list nodes (rate-1 and repetition
+    subtrees within a chunk decode whole: ``min(L−1, S)`` flip stages /
+    one selection instead of one per leaf).  *Approximate*: error rates
+    statistically match exact SCL (tests enforce) but outputs are not
+    bit-identical to it; the bit-exactness oracle for this mode is
+    ``parity/polar_np.scl_decode_fast_np``.  Requires ``body_impl="xla"``
+    and a non-Pallas ``control_impl``.
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
@@ -561,6 +688,11 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             unique[key] = len(unique_flags)
             unique_flags.append(chunk_flags_np[c])
         pattern_ids[c] = unique[key]
+    assert node_mode in ("exact", "fast"), node_mode
+    if node_mode == "fast":
+        assert body_impl == "xla", "node_mode='fast' requires body_impl='xla'"
+        assert control_impl in ("split", "fused", "unroll-fused"), (
+            "node_mode='fast' is XLA-only (no Pallas control modes)")
     if body_impl == "pallas":
         # fused VMEM-resident subtree bodies (ops/scl_body_pallas.py);
         # bit-identical to the XLA bodies (the kernel traces the same jnp
@@ -571,7 +703,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                   for f in unique_flags]
     else:
         assert body_impl == "xla", body_impl
-        bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl)
+        bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl,
+                                   node_mode=node_mode)
                   for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
 

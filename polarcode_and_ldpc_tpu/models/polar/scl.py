@@ -63,7 +63,7 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
                      chunk: int = 128, body_impl: str = "xla",
                      leaf_impl: str = "onehot", control_impl: str = "split",
-                     batch_tile: int = 128):
+                     batch_tile: int = 128, node_mode: str = "exact"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -81,7 +81,14 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
     candidates by all-pairs comparison (O(L²) element-ops, no gathers);
     ``"sort"`` uses a stable ``lax.sort`` (O(L log L) — wins at large L,
     e.g. SCL-32).  Bit-identical outputs either way.
+
+    ``node_mode="fast"`` (scan-chunked only) enables the SSCL fast list
+    nodes — an *approximate* serving mode, see
+    ``scanscl.make_scl_decoder_scan``.
     """
+    if node_mode != "exact":
+        assert impl == "scan-chunked", \
+            "node_mode='fast' requires impl='scan-chunked'"
     if impl == "unrolled":
         from .fastscl import make_scl_decoder_unrolled
 
@@ -92,7 +99,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
         return make_scl_decoder_scan(N, frozen_mask, list_size, chunk, dtype,
                                      leaf_impl=leaf_impl, body_impl=body_impl,
                                      control_impl=control_impl,
-                                     batch_tile=batch_tile)
+                                     batch_tile=batch_tile,
+                                     node_mode=node_mode)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size
@@ -171,9 +179,11 @@ class SCLDecoder:
                  use_crc: bool = False, crc_polynomial: str = "CRC-8",
                  dtype=jnp.float32, impl: Optional[str] = None,
                  chunk: int = 128, body_impl: str = "xla",
-                 leaf_impl: str = "onehot", control_impl: str = "split"):
+                 leaf_impl: str = "onehot", control_impl: str = "split",
+                 node_mode: str = "exact"):
         if impl is None:  # auto: compile-light chunk-scan for large codes
-            impl = "scan-chunked" if N >= 512 else "unrolled"
+            impl = ("scan-chunked" if N >= 512 or node_mode == "fast"
+                    else "unrolled")
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N, "K must be in (0, N)"
         assert list_size >= 1
@@ -193,10 +203,11 @@ class SCLDecoder:
         self._info_idx = jnp.asarray(self.info_bits, jnp.int32)
         crc_len = int(crc_polynomial.split("-")[1]) if use_crc else 0
         self._crc = CRCCodec(K - crc_len, crc_polynomial) if use_crc else None
+        self.node_mode = node_mode
         self._decode_paths = jax.jit(make_scl_decoder(
             N, self.frozen_mask, list_size, dtype, impl=impl,
             chunk=min(chunk, N), body_impl=body_impl, leaf_impl=leaf_impl,
-            control_impl=control_impl))
+            control_impl=control_impl, node_mode=node_mode))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, u_paths, metrics):

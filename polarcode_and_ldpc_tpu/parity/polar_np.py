@@ -204,3 +204,141 @@ def scl_decode_np(llr: np.ndarray, frozen_mask: np.ndarray, list_size: int):
     # inactive slots hold NaN trellises; report zeros there
     u_paths = np.where(np.isnan(u_paths), 0, u_paths).astype(np.int64)
     return u_paths[best], metrics.copy(), u_paths
+
+
+# ---------------------------------------------------------------------------
+# fast-node SCL twin (SSCL rate-1 / repetition list nodes)
+#
+# Float64 oracle for ``scanscl.make_scl_decoder_scan(node_mode="fast")`` —
+# the *approximate* fast serving mode.  Semantics are defined HERE (there is
+# no reference counterpart): the recursion, candidate orderings, tie rules
+# and float addition orders below are mirrored 1:1 by the JAX decoder, so
+# the TPU implementation is bit-exact against this twin in float64.
+# ---------------------------------------------------------------------------
+
+def _f_np(a, b):
+    return np.sign(a) * np.sign(b) * np.minimum(np.abs(a), np.abs(b))
+
+
+def _tree_sum_np(x, axis=1):
+    """Halving-tree float reduction (power-of-two extent) — mirrors
+    ``scanscl._tree_sum`` bit-for-bit."""
+    while x.shape[axis] > 1:
+        h = x.shape[axis] // 2
+        lo = np.take(x, range(h), axis=axis)
+        hi = np.take(x, range(h, x.shape[axis]), axis=axis)
+        x = lo + hi
+    return np.squeeze(x, axis=axis)
+
+
+def _prune_2l_np(cand, Lsz):
+    """Stable descending top-L over ordered candidates ``cand [2L]``:
+    ``(pm [L], second_half [L] int, src [L])`` — mirrors
+    ``scanscl._prune_2l``."""
+    top = np.argsort(-cand, kind="stable")[:Lsz]
+    return cand[top], (top >= Lsz).astype(np.int64), top % Lsz
+
+
+def scl_decode_fast_np(llr, frozen_mask, list_size, chunk=128):
+    """Fast-node SCL list decode of one frame (float64).
+
+    Returns ``(u_best [N], metrics [L], u_paths [L, N])`` with paths in
+    survivor slot order — same contract as ``scl_decode_np``.  ``chunk``
+    gates fast-node (and rate-0 collapse) sizes to match the chunk-scan
+    decoder's subtree cut: special handling applies only to subtrees of
+    size ≤ chunk, and larger regions recurse with the same f/g descent
+    the scan performs between chunks.
+    """
+    llr = np.asarray(llr, np.float64)
+    N = llr.size
+    n = int(np.log2(N))
+    Lsz = list_size
+    rev = np.array([bit_reverse(i, n) for i in range(N)], np.int64)
+    flags = np.asarray(frozen_mask, bool)[rev]
+    chunk = min(chunk, N)
+
+    def d0(a):
+        return -np.logaddexp(0.0, -a)
+
+    def d1(a):
+        return -np.logaddexp(0.0, a)
+
+    def rate0(a):
+        if a.shape[1] == 1:
+            return d0(a[:, 0])
+        h = a.shape[1] // 2
+        first, second = a[:, :h], a[:, h:]
+        return rate0(_f_np(first, second)) + rate0(second + first)
+
+    def rate1(a, pm):
+        S = a.shape[1]
+        mags = np.abs(a)
+        hard = (a < 0).astype(np.int64)
+        pm = pm - _tree_sum_np(np.logaddexp(0.0, -mags), axis=1)
+        K = min(Lsz - 1, S)
+        if K == 0:
+            return hard, pm, None
+        order = np.argsort(mags, axis=1, kind="stable")
+        magsK = np.take_along_axis(mags, order[:, :K], axis=1)
+        idxK = order[:, :K].copy()
+        fdec = np.zeros((Lsz, K), np.int64)
+        src_tot = np.arange(Lsz)
+        for s in range(K):
+            cand = np.concatenate([pm, pm - magsK[:, s]])
+            pm, flip, src = _prune_2l_np(cand, Lsz)
+            magsK, idxK, fdec = magsK[src], idxK[src], fdec[src]
+            fdec[:, s] = flip
+            src_tot = src_tot[src]
+        beta = hard[src_tot]
+        for p in range(Lsz):
+            for s in range(K):
+                if fdec[p, s]:
+                    beta[p, idxK[p, s]] ^= 1
+        return beta, pm, src_tot
+
+    def rep(a, pm):
+        cand = np.concatenate([pm + _tree_sum_np(d0(a), axis=1),
+                               pm + _tree_sum_np(d1(a), axis=1)])
+        pm, bit, src = _prune_2l_np(cand, Lsz)
+        return np.tile(bit[:, None], (1, a.shape[1])), pm, src
+
+    def node(alpha, pm, off, size):
+        sub = flags[off:off + size]
+        if size <= chunk and sub.all():
+            return np.zeros((Lsz, size), np.int64), pm + rate0(alpha), None
+        if size == 1:
+            a = alpha[:, 0]
+            cand = np.concatenate([pm + d0(a), pm + d1(a)])
+            pm, bits, src = _prune_2l_np(cand, Lsz)
+            return bits[:, None], pm, src
+        if size <= chunk:
+            if not sub.any():
+                return rate1(alpha, pm)
+            if sub[:-1].all() and not sub[-1]:
+                return rep(alpha, pm)
+        half = size // 2
+        first, second = alpha[:, :half], alpha[:, half:]
+        beta_l, pm, src_l = node(_f_np(first, second), pm, off, half)
+        if src_l is not None:
+            alpha = alpha[src_l]
+            first, second = alpha[:, :half], alpha[:, half:]
+        sgn = 1.0 - 2.0 * beta_l.astype(np.float64)
+        beta_r, pm, src_r = node(second + sgn * first, pm, off + half, half)
+        if src_r is not None:
+            beta_l = beta_l[src_r]
+        beta = np.concatenate([beta_l ^ beta_r, beta_r], axis=1)
+        if src_l is None:
+            src = src_r
+        elif src_r is None:
+            src = src_l
+        else:
+            src = src_l[src_r]
+        return beta, pm, src
+
+    pm0 = np.full(Lsz, -np.inf)
+    pm0[0] = 0.0
+    root_beta, metrics, _ = node(np.tile(llr[rev], (Lsz, 1)), pm0, 0, N)
+    beta_nat = root_beta[:, rev]  # bit-reversal is an involution
+    u_paths = np.stack([polar_transform_np(b) for b in beta_nat])
+    best = int(np.argmax(metrics))
+    return u_paths[best], metrics.copy(), u_paths

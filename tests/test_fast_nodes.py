@@ -1,0 +1,110 @@
+"""SSCL fast list nodes (``node_mode="fast"``) — parity + statistical tests.
+
+The fast mode is *approximate* by design (rate-1 / repetition subtrees decode
+whole instead of leaf-by-leaf; ``scanscl._rate1_fast`` / ``_rep_fast``), so
+its oracle is its own float64 NumPy twin ``parity/polar_np.scl_decode_fast_np``
+— bits must match exactly and metrics to 1e-9 (same standard as the exact
+decoders' parity suite).  Against *exact* SCL the requirement is statistical:
+frame-error counts at a waterfall SNR must agree within binomial noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polarcode_and_ldpc_tpu.models.polar.construction import (
+    frozen_mask_from_positions,
+    generate_frozen_bits,
+)
+from polarcode_and_ldpc_tpu.models.polar.scanscl import make_scl_decoder_scan
+from polarcode_and_ldpc_tpu.models.polar.scl import SCLDecoder
+from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_fast_np
+
+
+def _mask(N, K):
+    fb, _ = generate_frozen_bits(N, K)
+    return frozen_mask_from_positions(N, fb)
+
+
+@pytest.mark.parametrize(
+    "N,K,L,chunk,ctrl,leaf",
+    [
+        (64, 32, 4, 16, "split", "onehot"),
+        (64, 40, 8, 16, "fused", "onehot"),
+        (128, 70, 8, 32, "unroll-fused", "sort"),
+        (256, 130, 8, 64, "split", "onehot"),
+        (256, 200, 4, 256, "split", "onehot"),  # C == 1 single-body path
+        (64, 30, 1, 16, "split", "onehot"),     # L = 1: no branching stages
+    ],
+)
+def test_fast_nodes_match_numpy_twin(N, K, L, chunk, ctrl, leaf, rng):
+    mask = _mask(N, K)
+    dec = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=chunk, dtype=jnp.float64, control_impl=ctrl,
+        leaf_impl=leaf, node_mode="fast"))
+    llr = rng.normal(size=(6, N)) * 2.0
+    llr[0, : N // 8] = 0.0  # zero-LLR ties exercise the stable orderings
+    u, pm = map(np.asarray, dec(jnp.asarray(llr)))
+    for b in range(llr.shape[0]):
+        _, m, up = scl_decode_fast_np(llr[b], mask, L, chunk=chunk)
+        np.testing.assert_array_equal(u[b], up, err_msg=f"frame {b} paths")
+        np.testing.assert_allclose(pm[b], m, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"frame {b} metrics")
+
+
+def test_fast_nodes_control_mode_invariant(rng):
+    """All non-Pallas control modes run the identical fast-node program —
+    outputs are bit-identical across them."""
+    N, K, L, chunk = 128, 70, 8, 32
+    mask = _mask(N, K)
+    llr = jnp.asarray(rng.normal(size=(8, N)) * 2.0)
+    outs = {}
+    for ctrl in ("split", "fused", "unroll-fused"):
+        dec = jax.jit(make_scl_decoder_scan(
+            N, mask, L, chunk=chunk, dtype=jnp.float64, control_impl=ctrl,
+            node_mode="fast"))
+        outs[ctrl] = tuple(np.asarray(x) for x in dec(llr))
+    for ctrl in ("fused", "unroll-fused"):
+        np.testing.assert_array_equal(outs["split"][0], outs[ctrl][0])
+        np.testing.assert_array_equal(outs["split"][1], outs[ctrl][1])
+
+
+def test_fast_mode_error_rate_matches_exact_statistically(rng):
+    """Fast-node CA-SCL must not degrade error correction measurably:
+    frame-error counts at a waterfall SNR agree with exact CA-SCL within
+    binomial noise (the Fast-SSCL guarantee carries over empirically)."""
+    N, K, L = 256, 136, 8
+    snr_db, frames = 1.5, 384
+    exact = SCLDecoder(N, K, L, use_crc=True, crc_polynomial="CRC-8",
+                       impl="scan-chunked", chunk=64)
+    fast = SCLDecoder(N, K, L, use_crc=True, crc_polynomial="CRC-8",
+                      impl="scan-chunked", chunk=64, node_mode="fast")
+    kbits = K - 8
+    msgs = rng.integers(0, 2, size=(frames, kbits))
+    from polarcode_and_ldpc_tpu.parity.polar_np import polar_encode_np
+    from polarcode_and_ldpc_tpu.parity.channel_np import awgn_llr_np
+
+    info = exact.info_bits
+    cw = np.stack([polar_encode_np(m, N, info, use_crc=True) for m in msgs])
+    noise = rng.standard_normal(cw.shape)
+    llr = awgn_llr_np(cw, snr_db, noise)
+    fe = {}
+    for name, d in (("exact", exact), ("fast", fast)):
+        out = np.asarray(d.decode(jnp.asarray(llr)))[:, :kbits]
+        fe[name] = int((out != msgs).any(axis=1).sum())
+    # both must be in the waterfall (test is vacuous otherwise) and agree
+    # within generous binomial slack
+    assert 0 < fe["exact"] < frames // 2, fe
+    assert fe["fast"] <= fe["exact"] * 1.5 + 8, fe
+    assert fe["fast"] >= fe["exact"] * 0.5 - 8, fe
+
+
+def test_fast_mode_requires_xla_path():
+    mask = _mask(64, 32)
+    with pytest.raises(AssertionError):
+        make_scl_decoder_scan(64, mask, 4, chunk=16, node_mode="fast",
+                              body_impl="pallas")
+    with pytest.raises(AssertionError):
+        make_scl_decoder_scan(64, mask, 4, chunk=16, node_mode="fast",
+                              control_impl="mega")
