@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["split", "fused", "kernel", "unroll-fused",
                             "unroll-kernel", "mega"])
     p.add_argument("--scl-chunk", type=int, default=128)
+    p.add_argument("--scl-node-mode", default="exact",
+                   choices=["exact", "fast"],
+                   help="fast = SSCL fast list nodes (approximate serving "
+                        "mode; error rates statistically match exact)")
     p.add_argument("--chunks-per-dispatch", type=int, default=1)
     return p
 
@@ -62,7 +66,8 @@ def main(argv=None) -> dict:
                            chunks_per_dispatch=args.chunks_per_dispatch)
     polar_perf = {"scl_body_impl": args.scl_body,
                   "scl_chunk": args.scl_chunk,
-                  "scl_control_impl": args.scl_control}
+                  "scl_control_impl": args.scl_control,
+                  "scl_node_mode": args.scl_node_mode}
     mesh = get_mesh(args)
     outdir = Path(args.output_dir)
 

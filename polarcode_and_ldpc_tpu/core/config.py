@@ -34,6 +34,10 @@ class PolarCodeConfig:
     scl_body_impl: str = "xla"       # xla | pallas
     scl_chunk: int = 128
     scl_control_impl: str = "split"  # split | fused | kernel | unroll-* | mega
+    # "fast" enables the SSCL fast list nodes — APPROXIMATE (error rates
+    # statistically match exact SCL; outputs are not bit-identical to it);
+    # see models/polar/scanscl.py
+    scl_node_mode: str = "exact"     # exact | fast
 
     def __post_init__(self):
         assert self.N > 0 and (self.N & (self.N - 1)) == 0, "N must be a power of 2"

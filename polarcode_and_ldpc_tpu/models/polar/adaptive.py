@@ -46,7 +46,7 @@ class AdaptiveCASCLDecoder:
                  frozen_bits: Optional[np.ndarray] = None,
                  crc_polynomial: str = "CRC-8",
                  fallback_batch: int = 128, dtype=jnp.float32,
-                 sc_impl: str = "unrolled"):
+                 sc_impl: str = "unrolled", scl_node_mode: str = "exact"):
         assert N > 0 and (N & (N - 1)) == 0, "N must be a power of 2"
         assert 0 < K < N
         self.N, self.K, self.L = N, K, list_size
@@ -73,8 +73,13 @@ class AdaptiveCASCLDecoder:
             return info, self._crc.check(info)
 
         self._sc_pass = jax.jit(sc_pass)
-        scl_impl = "scan-chunked" if N >= 512 else "unrolled"
-        scl = make_scl_decoder(N, mask, list_size, dtype, impl=scl_impl)
+        # scl_node_mode="fast" puts the SSCL fast list nodes on the fallback
+        # path — the natural fit: the fallback is already a serving-oriented
+        # approximation boundary (CRC re-screens its outputs)
+        scl_impl = ("scan-chunked" if N >= 512 or scl_node_mode == "fast"
+                    else "unrolled")
+        scl = make_scl_decoder(N, mask, list_size, dtype, impl=scl_impl,
+                               node_mode=scl_node_mode)
 
         def scl_pass(llr):
             u_paths, metrics = scl(llr)

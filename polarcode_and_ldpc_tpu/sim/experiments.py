@@ -57,7 +57,8 @@ def simulate_polar(
             list_size=cfg.list_size, use_crc=use_crc,
             crc_polynomial=cfg.crc_polynomial, channel_fn=chan(snr_db),
             scl_body_impl=cfg.scl_body_impl, scl_chunk=cfg.scl_chunk,
-            scl_control_impl=cfg.scl_control_impl)
+            scl_control_impl=cfg.scl_control_impl,
+            scl_node_mode=cfg.scl_node_mode)
 
     k_counted = cfg.K - (int(cfg.crc_polynomial.split("-")[1]) if use_crc else 0)
     out = run_snr_sweep(builder, k_counted, sim.snr_points(),

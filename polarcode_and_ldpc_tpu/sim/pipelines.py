@@ -181,6 +181,7 @@ def make_polar_pipeline(
     scl_chunk: int = 128,
     scl_leaf_impl: str = "onehot",
     scl_control_impl: str = "split",
+    scl_node_mode: str = "exact",
 ):
     """End-to-end polar Monte-Carlo step (reference ``simulate_polar``,
     ``ber_simulation.py:132-205``).
@@ -223,12 +224,14 @@ def make_polar_pipeline(
         # auto impl: the chunk-scan fast path compiles in O(unique chunk
         # patterns) and keeps lanes full at any batch — the right default
         # for flagship-size codes; tiny codes keep the unrolled path
-        impl = "scan-chunked" if N >= 512 else "unrolled"
+        impl = ("scan-chunked" if N >= 512 or scl_node_mode == "fast"
+                else "unrolled")
         scl = make_scl_decoder(N, frozen_mask, list_size, dtype, impl=impl,
                                chunk=min(scl_chunk, N),
                                body_impl=scl_body_impl,
                                leaf_impl=scl_leaf_impl,
-                               control_impl=scl_control_impl)
+                               control_impl=scl_control_impl,
+                               node_mode=scl_node_mode)
 
         def decode(llr):
             u_paths, metrics = scl(llr)

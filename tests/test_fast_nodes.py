@@ -100,6 +100,31 @@ def test_fast_mode_error_rate_matches_exact_statistically(rng):
     assert fe["fast"] >= fe["exact"] * 0.5 - 8, fe
 
 
+def test_fast_mode_through_pipeline_and_adaptive(rng):
+    """scl_node_mode threads through the Monte-Carlo pipeline and the
+    adaptive serving decoder; outputs stay CRC-consistent."""
+    from polarcode_and_ldpc_tpu.models.polar.adaptive import (
+        AdaptiveCASCLDecoder,
+    )
+    from polarcode_and_ldpc_tpu.sim.pipelines import make_polar_pipeline
+
+    N, K = 128, 72
+    fb, _ = generate_frozen_bits(N, K)
+    step = make_polar_pipeline(N, K, fb, snr_db=2.0, decoder="ca-scl",
+                               list_size=4, scl_chunk=32,
+                               scl_node_mode="fast")
+    key = jax.random.PRNGKey(0)
+    stats = step(key, jnp.arange(64, dtype=jnp.uint32))
+    ber = float(np.sum(np.asarray(stats["bit_errors"]))) / (64 * (K - 8))
+    assert 0.0 <= ber < 0.5
+
+    ada = AdaptiveCASCLDecoder(N, K, 4, fallback_batch=8,
+                               scl_node_mode="fast")
+    llr = jnp.asarray(rng.normal(size=(16, N)).astype(np.float32) * 0.5)
+    out, s = ada.decode(llr, return_stats=True)
+    assert out.shape == (16, K) and s["frames"] == 16
+
+
 def test_fast_mode_requires_xla_path():
     mask = _mask(64, 32)
     with pytest.raises(AssertionError):
