@@ -85,7 +85,8 @@ def _polar_encode_host(msgs, N, info_bits):
 
 def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
                      control_impl: str = "split", chunk: int = 128,
-                     scan_chunks: int = 0, node_mode: str = "exact") -> dict:
+                     scan_chunks: int = 0, node_mode: str = "exact",
+                     perm_impl: str = "rank") -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
     # batches are affordable.  v5e (2026-08-17): XLA bodies 116.4 Mbps at
@@ -125,7 +126,8 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
          + (f" x{scan_chunks} scan" if scan_chunks else "") + ") ...")
     dec = make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
                            body_impl=body_impl, chunk=chunk,
-                           control_impl=control_impl, node_mode=node_mode)
+                           control_impl=control_impl, node_mode=node_mode,
+                           perm_impl=perm_impl)
     if scan_chunks:
         # on-chip chained decode: a lax.scan walks scan_chunks batches in
         # ONE dispatched program (the remote-tunnel dispatch round-trip

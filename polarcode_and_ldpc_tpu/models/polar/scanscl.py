@@ -98,11 +98,10 @@ def _compose(A, B):
     return jnp.sum(A[:, :, None, :] * B[None], axis=1)
 
 
-def _stable_topk_onehot(cand, Lsz):
-    """Stable-descending top-L selection one-hot ``S [L, 2L, B]`` over
-    candidates ``cand [2L, B]`` — the reference's ordering (sort by metric
-    desc, ties by candidate index; Python stable sort,
-    ``decoder.py:306-307``).
+def _cand_ranks(cand):
+    """Stable-descending rank of each candidate ``cand [2L, B]`` — the
+    reference's ordering (sort by metric desc, ties by candidate index;
+    Python stable sort, ``decoder.py:306-307``).
 
     Index tensors come from ``lax.broadcasted_iota`` (not broadcast
     ``arange``/``tril`` constants) so the identical code traces both under
@@ -115,7 +114,14 @@ def _stable_topk_onehot(cand, Lsz):
     jlti = (lax.broadcasted_iota(jnp.int32, shape3, 1)
             < lax.broadcasted_iota(jnp.int32, shape3, 0))  # j < i
     before = gt | (eq & jlti)
-    rank = jnp.sum(before, axis=1, dtype=jnp.int32)      # [2L, B]
+    return jnp.sum(before, axis=1, dtype=jnp.int32)      # [2L, B]
+
+
+def _stable_topk_onehot(cand, Lsz):
+    """Stable-descending top-L selection one-hot ``S [L, 2L, B]`` over
+    candidates ``cand [2L, B]`` (ordering per ``_cand_ranks``)."""
+    two_l = cand.shape[0]
+    rank = _cand_ranks(cand)
     sshape = (Lsz, two_l, cand.shape[1])
     slots = lax.broadcasted_iota(jnp.int32, sshape, 0)
     return (jnp.broadcast_to(rank[None, :, :], sshape) == slots).astype(cand.dtype)
@@ -282,11 +288,96 @@ def _broadcast_rows(x, L):
 
 #: default (XLA) one-hot list algebra — broadcast forms, fused by XLA
 _BROADCAST_ALGEBRA = {
+    "perm": "onehot",
     "apply_perm": _apply_perm,
     "apply_perm_bits": _apply_perm_bits,
     "compose": _compose,
     "info_leaf": _info_leaf,
     "identity_r": _identity_r,
+    "broadcast_rows": _broadcast_rows,
+}
+
+
+# ---------------------------------------------------------------------------
+# rank-vector list algebra (``perm_impl="rank"``)
+#
+# Permutations/selections are int32 rank vectors ``r [L_out, B]``:
+# out[l, b] reads in[r[l, b], b] — the same semantics as the one-hot
+# tensors above with L× less state (pendings [L, B] instead of [L, L, B])
+# and L× cheaper composition (the VERDICT r2 top item: the O(L²·B) compose
+# chains were ~40% of the flagship body's algebra, and the pend operands
+# were the dominant superkernel VMEM term at L = 32).  Applications
+# materialize the selection masks on the fly and SELECT — no arithmetic on
+# the operand, so they are exact for any values (±inf included) and any
+# dtype.  Outputs are bit-identical to the one-hot algebra by construction
+# (both are pure selections with identical candidate ordering).
+# ---------------------------------------------------------------------------
+
+def _apply_perm_rank(r, x):
+    """Rank vector ``r [L, B]`` applied to ``x [J, M, B]`` → ``[L, M, B]``:
+    ``out[l] = x[r[l]]``.  Broadcast select-sum (XLA fuses); exact for any
+    operand dtype/values — pure selection, no arithmetic on ``x``."""
+    J = x.shape[0]
+    sel = (r[:, None, :]
+           == lax.broadcasted_iota(jnp.int32, (r.shape[0], J, r.shape[1]), 1))
+    return jnp.sum(jnp.where(sel[:, :, None, :], x[None], 0), axis=1,
+                   dtype=x.dtype)
+
+
+def _compose_rank(a, b):
+    """Composition (apply ``b`` first, then ``a``): ``c[l] = b[a[l]]`` —
+    int32 select-sum over the (tiny) list axis: O(L²·B), vs the one-hot
+    compose's O(L³·B)."""
+    J = b.shape[0]
+    sel = (a[:, None, :]
+           == lax.broadcasted_iota(jnp.int32, (a.shape[0], J, a.shape[1]), 1))
+    return jnp.sum(jnp.where(sel, b[None], 0), axis=1, dtype=jnp.int32)
+
+
+def _info_leaf_rank(a, pm, Lsz, leaf_impl: str = "onehot"):
+    """``_info_leaf`` with the permutation returned as a rank vector
+    ``[L, B] int32`` instead of a one-hot ``[L, L, B]``.  Identical
+    candidate ordering/tie semantics; the sort path reads the rank vector
+    straight off the stable sort's index payload."""
+    d0, d1 = _d0_d1(a)
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2L, B]
+    if leaf_impl == "sort":
+        idx = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+        sorted_neg, sorted_idx = lax.sort(
+            (-cand, idx), dimension=0, is_stable=True, num_keys=1)
+        top_idx = sorted_idx[:Lsz]
+        pm2 = -sorted_neg[:Lsz]
+        bits = (top_idx >= Lsz).astype(jnp.int8)
+        return bits[:, None, :], pm2, top_idx % Lsz
+    rank = _cand_ranks(cand)
+    two_l = cand.shape[0]
+    sshape = (Lsz, two_l, cand.shape[1])
+    sel = (jnp.broadcast_to(rank[None, :, :], sshape)
+           == lax.broadcasted_iota(jnp.int32, sshape, 0))
+    pm2 = jnp.sum(jnp.where(sel, cand[None], 0), axis=1)
+    bits = jnp.sum(sel[:, Lsz:, :], axis=1).astype(jnp.int8)
+    j_iota = lax.broadcasted_iota(jnp.int32, sshape, 1)
+    src = jnp.sum(jnp.where(sel, jnp.where(j_iota < Lsz, j_iota,
+                                           j_iota - Lsz), 0),
+                  axis=1, dtype=jnp.int32)
+    return bits[:, None, :], pm2, src
+
+
+def _identity_r_rank(Lsz, batch, dtype):
+    """Identity rank vector ``[L, B] int32`` (``dtype`` unused — rank
+    vectors are always int32)."""
+    del dtype
+    return lax.broadcasted_iota(jnp.int32, (Lsz, batch), 0)
+
+
+#: rank-vector list algebra — XLA broadcast forms
+_RANK_ALGEBRA = {
+    "perm": "rank",
+    "apply_perm": _apply_perm_rank,
+    "apply_perm_bits": _apply_perm_rank,  # selection is dtype-preserving
+    "compose": _compose_rank,
+    "info_leaf": _info_leaf_rank,
+    "identity_r": _identity_r_rank,
     "broadcast_rows": _broadcast_rows,
 }
 
@@ -627,7 +718,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           body_impl: str = "xla",
                           control_impl: str = "split",
                           batch_tile: int = 128,
-                          node_mode: str = "exact"):
+                          node_mode: str = "exact",
+                          perm_impl: str = "rank"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -666,9 +758,20 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     bit-identical to it; the bit-exactness oracle for this mode is
     ``parity/polar_np.scl_decode_fast_np``.  Requires ``body_impl="xla"``
     and a non-Pallas ``control_impl``.
+
+    ``perm_impl`` (bit-identical outputs either way): ``"rank"`` (default)
+    carries list permutations as int32 rank vectors ``[L, B]`` — L× less
+    pending state and L× cheaper composition than ``"onehot"``'s
+    ``[L, L, B]`` tensors (see the rank-algebra block above).
+    ``node_mode="fast"`` forces ``"onehot"`` (its flip-stage helpers are
+    one-hot only).
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
+    assert perm_impl in ("onehot", "rank"), perm_impl
+    if node_mode == "fast":
+        perm_impl = "onehot"  # fast-node helpers are one-hot only
+    alg_x = _RANK_ALGEBRA if perm_impl == "rank" else _BROADCAST_ALGEBRA
     S = min(chunk, N)
     assert S & (S - 1) == 0 and N % S == 0
     C = N // S
@@ -699,11 +802,14 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # program against refs) — tests enforce
         from ...ops.scl_body_pallas import make_chunk_body_pallas
 
-        bodies = [make_chunk_body_pallas(f, Lsz, dtype, leaf_impl=leaf_impl)
+        bodies = [make_chunk_body_pallas(f, Lsz, dtype, leaf_impl=leaf_impl,
+                                         perm_impl=perm_impl)
                   for f in unique_flags]
     else:
         assert body_impl == "xla", body_impl
         bodies = [_make_chunk_body(f, Lsz, dtype, leaf_impl,
+                                   algebra=(alg_x if perm_impl == "rank"
+                                            else None),
                                    node_mode=node_mode)
                   for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
@@ -836,8 +942,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         if mega_core is not None and batch % batch_tile == 0:
             cur, pm = mega_core(llr_nb)
             return _finish(cur, pm)
-        eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
-                               (Lsz, Lsz, batch))
+        eye = alg_x["identity_r"](Lsz, batch, dtype)
         carry = dict(
             alpha=tuple(jnp.zeros((Lsz, sizes[l], batch), dtype)
                         for l in range(1, t + 1)),
@@ -873,10 +978,11 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                     elif invariant_parent:
                         parent = alpha[lo - 2][:1]
                     else:
-                        parent = _apply_perm(pend_a[lo - 2], alpha[lo - 2])
+                        parent = alg_x["apply_perm"](pend_a[lo - 2],
+                                                     alpha[lo - 2])
                     first, second = parent[:, :M, :], parent[:, M:, :]
-                    left = _apply_perm(pend_b[lo - 1],
-                                       beta[lo - 1].astype(dtype))
+                    left = alg_x["apply_perm"](pend_b[lo - 1],
+                                               beta[lo - 1].astype(dtype))
                     parent = second + (1.0 - 2.0 * left) * first  # g
                     alpha[lo - 1] = parent
                     pend_a[lo - 1] = eye
@@ -898,7 +1004,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 pend_b = list(pend_b)
                 for step_i in range(j):
                     i = t - step_i - 1
-                    left = _apply_perm_bits(pend_b[i], beta[i])
+                    left = alg_x["apply_perm_bits"](pend_b[i], beta[i])
                     cur = jnp.concatenate([left ^ cur, cur], axis=1)
                 stop = t - j - 1
                 beta[stop] = cur
@@ -919,8 +1025,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 def _super_branch(tr):
                     sel, pid, j, ca, cb = tr
                     fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                        bodies[pid], compose_a=ca,
-                                        compose_b=cb)
+                                        bodies[pid], algebra=alg_x,
+                                        compose_a=ca, compose_b=cb)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -944,17 +1050,18 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                     # run the bit-identical fused-XLA program instead
                     if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
                                          batch_tile, compose_a=ca,
-                                         compose_b=cb)
+                                         compose_b=cb, perm_impl=perm_impl)
                             > VMEM_OPERAND_BUDGET):
                         fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                            bodies[pid], compose_a=ca,
-                                            compose_b=cb)
+                                            bodies[pid], algebra=alg_x,
+                                            compose_a=ca, compose_b=cb)
                     else:
                         fn = make_superchunk_pallas(
                             sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
                             leaf_impl=leaf_impl, batch_tile=batch_tile,
                             interpret=control_impl == "kernel-interpret",
-                            compose_a=ca, compose_b=cb)
+                            compose_a=ca, compose_b=cb,
+                            perm_impl=perm_impl)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -999,8 +1106,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                                                carry["pm"])
 
                 # ---- compose the chunk's relative permutation into pendings
-                pend_a = [_compose(R, p) for p in pend_a]
-                pend_b = [_compose(R, p) for p in pend_b]
+                pend_a = [alg_x["compose"](R, p) for p in pend_a]
+                pend_b = [alg_x["compose"](R, p) for p in pend_b]
 
                 # ---- ascend: combine completed right subtrees, park left --
                 beta, pend_b = lax.switch(x["asc_j"], asc_branches,
@@ -1026,18 +1133,22 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 make_last_superchunk_pallas,
             )
 
-            if (last_vmem_bytes(t, sizes, Lsz, dtype, batch_tile)
+            if (last_vmem_bytes(t, sizes, Lsz, dtype, batch_tile,
+                                perm_impl=perm_impl)
                     > VMEM_OPERAND_BUDGET):  # hybrid fallback (large N·L)
                 last_fn = _make_last_fn(t, sizes, Lsz, dtype,
-                                        bodies[pattern_ids[C - 1]])
+                                        bodies[pattern_ids[C - 1]],
+                                        algebra=alg_x)
             else:
                 last_fn = make_last_superchunk_pallas(
                     unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
                     leaf_impl=leaf_impl, batch_tile=batch_tile,
-                    interpret=control_impl == "kernel-interpret")
+                    interpret=control_impl == "kernel-interpret",
+                    perm_impl=perm_impl)
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,
-                                    bodies[pattern_ids[C - 1]])
+                                    bodies[pattern_ids[C - 1]],
+                                    algebra=alg_x)
         cur, pm = last_fn(llr_nb, carry["alpha"], carry["pend_a"],
                           carry["beta"], carry["pend_b"], carry["pm"])
         # root beta is the re-encoded codeword in bit-reversed storage;

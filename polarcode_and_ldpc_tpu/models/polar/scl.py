@@ -63,7 +63,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      dtype=jnp.float32, impl: str = "unrolled",
                      chunk: int = 128, body_impl: str = "xla",
                      leaf_impl: str = "onehot", control_impl: str = "split",
-                     batch_tile: int = 128, node_mode: str = "exact"):
+                     batch_tile: int = 128, node_mode: str = "exact",
+                     perm_impl: str = "rank"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -85,6 +86,10 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
     ``node_mode="fast"`` (scan-chunked only) enables the SSCL fast list
     nodes — an *approximate* serving mode, see
     ``scanscl.make_scl_decoder_scan``.
+
+    ``perm_impl`` (scan-chunked only; bit-identical outputs): ``"rank"``
+    (default) carries list permutations as int32 rank vectors — L× less
+    pending state and L× cheaper composition than ``"onehot"``.
     """
     if node_mode != "exact":
         assert impl == "scan-chunked", \
@@ -100,7 +105,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                                      leaf_impl=leaf_impl, body_impl=body_impl,
                                      control_impl=control_impl,
                                      batch_tile=batch_tile,
-                                     node_mode=node_mode)
+                                     node_mode=node_mode,
+                                     perm_impl=perm_impl)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size
@@ -180,7 +186,7 @@ class SCLDecoder:
                  dtype=jnp.float32, impl: Optional[str] = None,
                  chunk: int = 128, body_impl: str = "xla",
                  leaf_impl: str = "onehot", control_impl: str = "split",
-                 node_mode: str = "exact"):
+                 node_mode: str = "exact", perm_impl: str = "rank"):
         if impl is None:  # auto: compile-light chunk-scan for large codes
             impl = ("scan-chunked" if N >= 512 or node_mode == "fast"
                     else "unrolled")
@@ -207,7 +213,8 @@ class SCLDecoder:
         self._decode_paths = jax.jit(make_scl_decoder(
             N, self.frozen_mask, list_size, dtype, impl=impl,
             chunk=min(chunk, N), body_impl=body_impl, leaf_impl=leaf_impl,
-            control_impl=control_impl, node_mode=node_mode))
+            control_impl=control_impl, node_mode=node_mode,
+            perm_impl=perm_impl))
         self._select = jax.jit(self._select_impl)
 
     def _select_impl(self, u_paths, metrics):

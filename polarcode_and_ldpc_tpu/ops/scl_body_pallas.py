@@ -113,6 +113,7 @@ def _identity_r_loop(Lsz, batch, dtype):
 
 #: Mosaic-friendly one-hot list algebra (static loops, 2D tensors)
 _LOOP_ALGEBRA = {
+    "perm": "onehot",
     "apply_perm": _apply_perm_loop,
     "apply_perm_bits": _apply_perm_bits_loop,
     "compose": _compose_loop,
@@ -121,21 +122,110 @@ _LOOP_ALGEBRA = {
 }
 
 
+# ---------------------------------------------------------------------------
+# rank-vector loop algebra (``perm_impl="rank"`` — see the rank-algebra
+# block in ``scanscl.py``): permutations ride as int32 rank vectors
+# ``[L, B]``; applications are pure SELECT chains (1 select per candidate
+# instead of multiply+add — no casts, no arithmetic on the operand, exact
+# for any dtype/values), composition selects over [1, B] rows (L× cheaper
+# than the one-hot compose), and the pending state the superkernels haul
+# through VMEM shrinks by L×.
+# ---------------------------------------------------------------------------
+
+def _apply_perm_rank_loop(r, x):
+    """Rank apply ``out[l] = x[r[l]]`` as a static select chain over the
+    candidate axis (2D ``[M, B]`` selects — Mosaic-safe)."""
+    L, J = r.shape[0], x.shape[0]
+    rows = []
+    for l in range(L):
+        rl = r[l][None, :]                      # [1, B] int32
+        acc = x[0]
+        for j in range(1, J):
+            acc = jnp.where(rl == j, x[j], acc)
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _compose_rank_loop(a, b):
+    """Rank composition ``c[l] = b[a[l]]`` (apply ``b`` first, then ``a``)
+    as a static select chain over ``[1, B]`` int32 rows."""
+    L, J = a.shape[0], b.shape[0]
+    rows = []
+    for l in range(L):
+        al = a[l][None, :]
+        acc = b[0][None, :]
+        for j in range(1, J):
+            acc = jnp.where(al == j, b[j][None, :], acc)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
+    """Mosaic-friendly ``scanscl._info_leaf_rank``: identical candidate
+    ranking to ``_info_leaf_loop``, but the permutation comes back as a
+    rank vector ``[L, B] int32`` (source-path index per surviving slot)."""
+    del leaf_impl  # only the one-hot ranking exists in-kernel
+    from ..models.polar.scanscl import _d0_d1
+
+    d0, d1 = _d0_d1(a)
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2L, B]
+    two_l = 2 * Lsz
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    rank = jnp.zeros(cand.shape, jnp.int32)
+    for j in range(two_l):
+        cj = cand[j][None, :]                               # [1, B]
+        before = (cj > cand) | ((cj == cand) & (j < i_iota))
+        rank = rank + before.astype(jnp.int32)
+    jmod = jnp.where(i_iota < Lsz, i_iota, i_iota - Lsz)    # cand → src path
+    pm_rows, bit_rows, src_rows = [], [], []
+    for l in range(Lsz):
+        sel = rank == l                                     # [2L, B]
+        pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
+        bit_rows.append(jnp.sum(sel[Lsz:].astype(jnp.int8), axis=0))
+        src_rows.append(jnp.sum(jnp.where(sel, jmod, 0), axis=0))
+    pm2 = jnp.stack(pm_rows, axis=0)                        # [L, B]
+    bits = jnp.stack(bit_rows, axis=0).astype(jnp.int8)     # [L, B]
+    src = jnp.stack(src_rows, axis=0)                       # [L, B] int32
+    return bits[:, None, :], pm2, src
+
+
+def _identity_r_rank_loop(Lsz, batch, dtype):
+    del dtype
+    return jax.lax.broadcasted_iota(jnp.int32, (Lsz, batch), 0)
+
+
+#: Mosaic-friendly rank-vector list algebra
+_RANK_LOOP_ALGEBRA = {
+    "perm": "rank",
+    "apply_perm": _apply_perm_rank_loop,
+    "apply_perm_bits": _apply_perm_rank_loop,  # selection preserves dtype
+    "compose": _compose_rank_loop,
+    "info_leaf": _info_leaf_rank_loop,
+    "identity_r": _identity_r_rank_loop,
+}
+
+
 def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
                            batch_tile: int = 128, interpret: bool = False,
-                           leaf_impl: str = "onehot"):
+                           leaf_impl: str = "onehot",
+                           perm_impl: str = "onehot"):
     """Pallas-fused equivalent of ``scanscl._make_chunk_body``.
 
     Returns ``body(alpha [L, S, B], pm [L, B]) → (beta [L, S, B] int8,
-    pm [L, B], R [L, L, B])`` with B a multiple of ``batch_tile``.
-    """
-    from ..models.polar.scanscl import _make_chunk_body
+    pm [L, B], R)`` with B a multiple of ``batch_tile``.  ``R`` is a
+    one-hot ``[L, L, B]`` (``perm_impl="onehot"``) or an int32 rank vector
+    ``[L, B]`` (``"rank"``)."""
+    from ..models.polar.scanscl import _RANK_ALGEBRA, _make_chunk_body
 
     flags = np.asarray(flags, bool)
     S = len(flags)
     assert S % 32 == 0, "int8 beta output needs S multiple of 32"
-    inner = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                             algebra=_LOOP_ALGEBRA)
+    assert perm_impl in ("onehot", "rank"), perm_impl
+    rank = perm_impl == "rank"
+    inner = _make_chunk_body(
+        flags, Lsz, dtype, leaf_impl,
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+    xla_algebra = _RANK_ALGEBRA if rank else None
 
     def kernel(alpha_ref, pm_ref, beta_ref, pm_out_ref, r_ref):
         beta, pm, R = inner(alpha_ref[:], pm_ref[:])
@@ -143,13 +233,20 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
         pm_out_ref[:] = pm
         r_ref[:] = R
 
+    r_shape = (Lsz, batch_tile) if rank else (Lsz, Lsz, batch_tile)
+    r_spec = pl.BlockSpec(
+        r_shape,
+        (lambda i: (0, i)) if rank else (lambda i: (0, 0, i)),
+        memory_space=pltpu.VMEM)
+
     def body(alpha, pm):
         B = alpha.shape[-1]
         if B % batch_tile != 0:
             # lane tiles need full 128-frame batches; smaller/unaligned
             # batches (tiny MC chunks, odd test shapes) take the XLA body —
             # bit-identical by construction, so this is purely a perf choice
-            return _make_chunk_body(flags, Lsz, dtype, leaf_impl)(alpha, pm)
+            return _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                                    algebra=xla_algebra)(alpha, pm)
         grid = (B // batch_tile,)
         return pl.pallas_call(
             kernel,
@@ -165,13 +262,14 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lsz, batch_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lsz, Lsz, batch_tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
+                r_spec,
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((Lsz, S, B), jnp.int8),
                 jax.ShapeDtypeStruct((Lsz, B), dtype),
-                jax.ShapeDtypeStruct((Lsz, Lsz, B), dtype),
+                jax.ShapeDtypeStruct(
+                    (Lsz, B) if rank else (Lsz, Lsz, B),
+                    jnp.int32 if rank else dtype),
             ),
             interpret=interpret,
         )(alpha, pm)

@@ -31,12 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.polar.scanscl import (
+    _RANK_ALGEBRA,
     _make_chunk_body,
     _make_last_fn,
     _make_super_fn,
     super_touch_sets,
 )
-from .scl_body_pallas import _LOOP_ALGEBRA
+from .scl_body_pallas import _LOOP_ALGEBRA, _RANK_LOOP_ALGEBRA
 
 #: operand-sum budget for one superkernel invocation (v5e VMEM ≈ 16 MB per
 #: core; leave ~half for in-kernel temporaries — broadcast parents, one-hot
@@ -47,13 +48,23 @@ from .scl_body_pallas import _LOOP_ALGEBRA
 VMEM_OPERAND_BUDGET = 8 * 1024 * 1024
 
 
+def _pend_bytes(Lsz: int, batch_tile: int, dtype, perm_impl: str) -> int:
+    """Bytes of ONE pending-permutation operand: one-hot ``[L, L, B]``
+    dtype vs rank-vector ``[L, B]`` int32 (L× smaller — the change that
+    lets L = 32 variants fit the budget)."""
+    if perm_impl == "rank":
+        return Lsz * batch_tile * 4
+    return Lsz * Lsz * batch_tile * jnp.dtype(dtype).itemsize
+
+
 def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
                      batch_tile: int = 128, compose_a=None,
-                     compose_b=None) -> int:
+                     compose_b=None, perm_impl: str = "onehot") -> int:
     """Declared operand bytes (inputs + outputs) of one chunk-step
     superkernel variant at the given batch tile.  With live-compose masks
     (``scanscl.pend_liveness``) only the composed/read pendings ride
-    through the kernel — the dominant VMEM term at large L."""
+    through the kernel — the dominant VMEM term at large L in one-hot
+    mode; rank mode shrinks each pending by L×."""
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     fsz = jnp.dtype(dtype).itemsize
     total = sizes[0] * batch_tile * fsz if touch["needs_llr"] else 0
@@ -63,22 +74,24 @@ def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
         total += Lsz * sizes[i + 1] * batch_tile  # int8
     n_pend = (len(touch["pend_a_in"]) + len(touch["pend_a_out"])
               + len(touch["pend_b_in"]) + len(touch["pend_b_out"]))
-    total += n_pend * Lsz * Lsz * batch_tile * fsz
+    total += n_pend * _pend_bytes(Lsz, batch_tile, dtype, perm_impl)
     total += 2 * Lsz * batch_tile * fsz  # pm in+out
     return total
 
 
 def last_vmem_bytes(t: int, sizes, Lsz: int, dtype,
-                    batch_tile: int = 128) -> int:
+                    batch_tile: int = 128,
+                    perm_impl: str = "onehot") -> int:
     """Declared operand bytes of the fused last-chunk kernel."""
     fsz = jnp.dtype(dtype).itemsize
     N = sizes[0]
+    pend = _pend_bytes(Lsz, batch_tile, dtype, perm_impl)
     total = N * batch_tile * fsz if t == 1 else (
         Lsz * sizes[t - 1] * batch_tile * fsz  # alpha[t-2]
-        + Lsz * Lsz * batch_tile * fsz)        # pend_a[t-2]
+        + pend)                                # pend_a[t-2]
     for i in range(t):
         total += Lsz * sizes[i + 1] * batch_tile          # beta int8
-        total += Lsz * Lsz * batch_tile * fsz             # pend_b
+        total += pend                                     # pend_b
     total += Lsz * N * batch_tile                         # root int8 out
     total += 2 * Lsz * batch_tile * fsz                   # pm in+out
     return total
@@ -95,13 +108,26 @@ def _broadcast_rows_concat(x, L):
 
 #: in-kernel algebra: static-loop one-hot forms + explicit row replication
 _SUPER_ALGEBRA = dict(_LOOP_ALGEBRA, broadcast_rows=_broadcast_rows_concat)
+#: rank-vector variant (see ``scl_body_pallas._RANK_LOOP_ALGEBRA``)
+_SUPER_RANK_ALGEBRA = dict(_RANK_LOOP_ALGEBRA,
+                           broadcast_rows=_broadcast_rows_concat)
+
+
+def _pend_identity(Lsz: int, B: int, dtype, perm_impl: str):
+    """JAX-level identity permutation for reset-only pendings."""
+    if perm_impl == "rank":
+        return jnp.broadcast_to(jnp.arange(Lsz, dtype=jnp.int32)[:, None],
+                                (Lsz, B))
+    return jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
+                            (Lsz, Lsz, B))
 
 
 def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                            sizes, Lsz: int, dtype,
                            leaf_impl: str = "onehot",
                            batch_tile: int = 128, interpret: bool = False,
-                           compose_a=None, compose_b=None):
+                           compose_a=None, compose_b=None,
+                           perm_impl: str = "onehot"):
     """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
 
     Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
@@ -110,23 +136,33 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     through at the JAX level without entering the kernel; reset-only
     pendings are written as a JAX-level broadcast identity; composes run
     only for the live-mask levels — see ``scanscl.pend_liveness``).
+
+    ``perm_impl`` selects the permutation representation the kernel (and
+    its XLA fallback twin) trades in: one-hot ``[L, L, B]`` or int32 rank
+    vectors ``[L, B]`` — must match the caller's pending state.
     """
     flags = np.asarray(flags, bool)
+    assert perm_impl in ("onehot", "rank"), perm_impl
+    rank = perm_impl == "rank"
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     a_read, a_write = touch["alpha_read"], touch["alpha_write"]
     b_read, b_write = touch["beta_read"], touch["beta_write"]
     needs_llr = touch["needs_llr"]
     N = sizes[0]
 
-    body_kernel = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                                   algebra=_LOOP_ALGEBRA)
-    super_kernel_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                     body_kernel, algebra=_SUPER_ALGEBRA,
-                                     compose_a=compose_a,
-                                     compose_b=compose_b)
+    body_kernel = _make_chunk_body(
+        flags, Lsz, dtype, leaf_impl,
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+    super_kernel_fn = _make_super_fn(
+        sel, j, t, sizes, Lsz, dtype, body_kernel,
+        algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA,
+        compose_a=compose_a, compose_b=compose_b)
     # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
-    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
+    xla_algebra = _RANK_ALGEBRA if rank else None
+    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                                algebra=xla_algebra)
     super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla,
+                                  algebra=xla_algebra,
                                   compose_a=compose_a, compose_b=compose_b)
 
     # static operand schedule: (kind, level-index) in kernel-ref order
@@ -152,7 +188,9 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
             return (Lsz, sizes[i + 1], B), jnp.int8
         if kind == "pm":
             return (Lsz, B), dtype
-        return (Lsz, Lsz, B), dtype  # pend_a / pend_b
+        if rank:  # pend_a / pend_b as int32 rank vectors
+            return (Lsz, B), jnp.int32
+        return (Lsz, Lsz, B), dtype  # pend_a / pend_b one-hot
 
     def _block_spec(kind, i):
         shape, _ = _shape_dtype(kind, i, batch_tile)
@@ -203,8 +241,7 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         # reset-only pendings never enter the kernel: their final value is
         # the identity, written here as a free JAX-level broadcast
         if eye_a or eye_b:
-            eye = jnp.broadcast_to(jnp.eye(Lsz, dtype=dtype)[..., None],
-                                   (Lsz, Lsz, B))
+            eye = _pend_identity(Lsz, B, dtype, perm_impl)
             for i in eye_a:
                 new["pend_a"][i] = eye
             for i in eye_b:
@@ -221,17 +258,25 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
 def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
                                 dtype, leaf_impl: str = "onehot",
                                 batch_tile: int = 128,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                perm_impl: str = "onehot"):
     """Fused LAST chunk (``scanscl._make_last_fn``): one kernel produces
     the full root beta plane ``[L, N, B] int8`` + final metrics."""
     flags = np.asarray(flags, bool)
+    assert perm_impl in ("onehot", "rank"), perm_impl
+    rank = perm_impl == "rank"
     N = sizes[0]
-    body_kernel = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                                   algebra=_LOOP_ALGEBRA)
-    last_kernel_fn = _make_last_fn(t, sizes, Lsz, dtype, body_kernel,
-                                   algebra=_SUPER_ALGEBRA)
-    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl)
-    last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla)
+    body_kernel = _make_chunk_body(
+        flags, Lsz, dtype, leaf_impl,
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+    last_kernel_fn = _make_last_fn(
+        t, sizes, Lsz, dtype, body_kernel,
+        algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA)
+    xla_algebra = _RANK_ALGEBRA if rank else None
+    body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
+                                algebra=xla_algebra)
+    last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla,
+                                algebra=xla_algebra)
 
     needs_llr = t == 1
     in_plan = ([("llr", None)] if needs_llr else [("alpha", t - 2)]) \
@@ -252,6 +297,8 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
             return (Lsz, sizes[i + 1], B), jnp.int8
         if kind == "pm":
             return (Lsz, B), dtype
+        if rank:  # pend_a / pend_b as int32 rank vectors
+            return (Lsz, B), jnp.int32
         return (Lsz, Lsz, B), dtype
 
     def _block_spec(kind, i):

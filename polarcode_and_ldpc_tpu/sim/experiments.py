@@ -41,11 +41,18 @@ def simulate_polar(
     mesh=None,
     verbose: bool = False,
     channel: Optional[ChannelConfig] = None,
+    frozen: Optional[np.ndarray] = None,
 ) -> dict:
     """Polar BER/FER curve (reference ``simulate_polar``,
-    ``ber_simulation.py:132-205``)."""
-    frozen, _ = construct_polar_code(cfg.N, cfg.K, cfg.construction,
-                                     cfg.design_snr_db)
+    ``ber_simulation.py:132-205``).
+
+    ``frozen`` overrides the construction with an explicit frozen set —
+    the oracle-differential path feeds the third-party construction's
+    positions here, mirroring how the reference's production runs inject
+    ``polarcodes`` frozen sets (``ber_simulation.py:145-152``)."""
+    if frozen is None:
+        frozen, _ = construct_polar_code(cfg.N, cfg.K, cfg.construction,
+                                         cfg.design_snr_db)
     decoder = _polar_decoder_name(cfg)
     use_crc = cfg.use_crc or decoder == "ca-scl"
 

@@ -37,33 +37,30 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.oracle import (
+        oracle_ldpc_matrices,
+        oracle_polar_frozen_set,
+    )
 
-    # polar: frozen set in the wrapper's schema (sorted int positions)
+    # polar: frozen set from the oracle construction algorithm (the real
+    # library when installed, its pure-NumPy reimplementation otherwise —
+    # oracle/constructions_np.py)
     N, K, design = 1024, 512, 2.0
-    frozen, _ = fec.construct_polar_code(N, K, "bhattacharyya", design)
+    frozen, polar_backend = oracle_polar_frozen_set(N, K, design)
 
-    # ldpc: pyldpc-style artifacts — H [m, n]; G in (n, k) orientation;
-    # k_actual mimics pyldpc's possible shrink (here full rank → k)
+    # ldpc: pyldpc-algorithm artifacts — H [m, n]; G (n, k_actual) with
+    # the k shrink the reference propagates (ldpc_wrapper.py:49-60)
     n, k, dv, dc = 504, 252, 3, 6
-    H0 = fec.generate_ldpc_matrix(n, k, method="regular", dv=dv, dc=dc, seed=42)
-    from polarcode_and_ldpc_tpu.models.ldpc.matrix import encodable_form
-
-    G0, info = encodable_form(H0, k)
-    assert G0 is not None
-    # permute columns so the information set leads (pyldpc's systematic
-    # convention: message bits are the first k codeword positions)
-    order = np.concatenate([info, np.setdiff1d(np.arange(n), info)])
-    H = H0[:, order]
-    G_nk = G0[:, order].T  # pyldpc orientation (n, k)
+    H, G_nk, ldpc_backend = oracle_ldpc_matrices(n, dv, dc, seed=42)
+    k_act = G_nk.shape[1]
     assert ((H @ G_nk) % 2 == 0).all()
-    assert (G_nk[:k] == np.eye(k, dtype=np.int64)).all()
+    assert (G_nk[:k_act] == np.eye(k_act, dtype=np.int64)).all()
 
     fixture = {
-        "note": ("Oracle-wrapper-schema fixture: shapes/orientations match "
-                 "what PolarLibWrapper/LDPCLibWrapper emit; data synthesized "
-                 "by the framework's own constructions (third-party libs "
-                 "absent in this environment)."),
+        "note": ("Oracle fixture: artifacts produced by the oracle "
+                 f"construction algorithms (polar backend: {polar_backend}, "
+                 f"ldpc backend: {ldpc_backend}) in the exact "
+                 "shapes/orientations PolarLibWrapper/LDPCLibWrapper emit."),
         "polar": {
             "N": N, "K": K, "design_snr_db": design,
             "frozen_positions": np.sort(np.asarray(frozen)).tolist(),

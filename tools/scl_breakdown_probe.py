@@ -28,7 +28,11 @@ def main() -> None:
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--body", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--control", default="split", choices=["split", "fused"])
+    ap.add_argument("--control", default="split",
+                    choices=["split", "fused", "unroll-fused",
+                             "unroll-kernel", "kernel"])
+    ap.add_argument("--perm", default="rank", choices=["onehot", "rank"])
+    ap.add_argument("--masks", default="all_frozen,all_info,real_rate_half")
     args = ap.parse_args()
     import jax
 
@@ -54,10 +58,12 @@ def main() -> None:
         "all_info": np.zeros(N, bool),
         "real_rate_half": real,
     }
-    for name, mask in masks.items():
+    for name in args.masks.split(","):
+        mask = masks[name]
         dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=args.chunk,
                                             body_impl=args.body,
-                                            control_impl=args.control))
+                                            control_impl=args.control,
+                                            perm_impl=args.perm))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0
@@ -71,6 +77,7 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0) / 5)
         print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, '
               f'"body": "{args.body}", "control": "{args.control}", '
+              f'"perm": "{args.perm}", '
               f'"compile_s": {tc:.1f}, "steady_s": {best:.4f}}}', flush=True)
 
 
