@@ -72,6 +72,9 @@ def main(argv=None) -> dict:
                                snr_step=1, num_frames=args.num_frames,
                                max_errors=None, batch_size=args.batch_size,
                                seed=args.seed)
+        from ..sim.throughput import (measure_ldpc_throughput,
+                                      measure_polar_throughput)
+
         for fam in families:
             out = []
             print(f"{fam} rate sweep {rates} @ N={N}, {args.snr_db} dB:")
@@ -81,15 +84,28 @@ def main(argv=None) -> dict:
                     if fam == "polar":
                         cfg = PolarCodeConfig(N=N, K=int(N * rate), algorithm="sc")
                         curve = simulate_polar(cfg, sim, mesh)
+                        thpt = measure_polar_throughput(
+                            N=N, K=cfg.K, snr_db=args.snr_db,
+                            batch=args.batch_size, sc_impl=args.sc_impl)
                     else:
                         k = int(N * rate)
                         m = N - k
                         dc = max(4, int(round(3 * N / m)))
                         cfg = LDPCCodeConfig(n=N, k=k, dv=3, dc=dc)
                         curve = simulate_ldpc(cfg, sim, mesh)
+                        thpt = measure_ldpc_throughput(
+                            n=N, k=k, dv=3, dc=dc, snr_db=args.snr_db,
+                            batch=args.batch_size, bp_impl="auto")
+                    # steady-state decode rate (warm-up + forced completion,
+                    # sim/throughput.py), NOT the MC sweep's first point —
+                    # that elapsed time includes compilation and misstated
+                    # TPU throughput by 3-4 orders of magnitude
+                    # (reference semantics: throughput_test.py:212-253)
                     entry.update(ber=curve["ber"][0], fer=curve["fer"][0],
-                                 throughput_mbps=curve["throughput_mbps"][0])
-                    print(f"  rate {rate}: BER {entry['ber']:.2e}")
+                                 throughput_mbps=thpt["decoding_throughput"],
+                                 decode_ms_per_frame=thpt["decode_ms_per_frame"])
+                    print(f"  rate {rate}: BER {entry['ber']:.2e} "
+                          f"dec {entry['throughput_mbps']:.1f} Mbps")
                 except Exception as e:  # record-and-continue (reference :251-258)
                     entry["error"] = str(e)
                     print(f"  rate {rate}: ERROR {e}")

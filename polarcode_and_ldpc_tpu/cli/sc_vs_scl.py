@@ -129,8 +129,40 @@ def main(argv=None) -> dict:
         plot_comparison(list(lat.keys()), {"ms/frame": list(lat.values())},
                         title="Decode latency", ylabel="ms per frame",
                         filepath=outdir / "latency.png", log_scale=True)
+        plot_improvement_summary(results, outdir / "improvement_comparison.png")
     print(f"Done → {outdir}/")
     return results
+
+
+def plot_improvement_summary(results: dict, filepath) -> None:
+    """List-size improvement summary — the reference SCL report's fourth
+    panel (``sc_vs_scl.py:453-485``): per-L FER reduction vs SC in %,
+    clamped to [0, 100], zero where SC itself measured no errors."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    snrs = results["snr_db"]
+    sc_fer = results["curves"]["sc"]["fer"]
+    fig, ax = plt.subplots(figsize=(12, 7))
+    for name, curve in results["curves"].items():
+        if not name.startswith("scl_"):
+            continue
+        impr = [max(0.0, (s - l) / s * 100.0) if s > 0 else 0.0
+                for s, l in zip(sc_fer, curve["fer"])]
+        ax.plot(snrs, impr, "s-", linewidth=2.5, markersize=7,
+                label=f"L={name.split('_')[1]}", alpha=0.85)
+    ax.set_xlabel("SNR (dB)")
+    ax.set_ylabel("FER Improvement vs SC (%)")
+    ax.set_title(f"Performance Gain of SCL over SC "
+                 f"(N={results['N']}, K={results['K']})")
+    ax.grid(True, alpha=0.3, linestyle="--")
+    ax.legend(loc="best", ncol=2)
+    ax.set_ylim([-5, 105])
+    fig.tight_layout()
+    fig.savefig(filepath, dpi=150)
+    plt.close(fig)
 
 
 if __name__ == "__main__":

@@ -74,9 +74,17 @@ _NEG_INF = -jnp.inf
 # ---------------------------------------------------------------------------
 
 def _d0_d1(a):
-    """(log P(0|llr), log P(1|llr)) — reference ``decoder.py:374-406``."""
+    """(log P(0|llr), log P(1|llr)) — reference ``decoder.py:374-406``.
+
+    Algebraically ``(−logaddexp(0, −a), −logaddexp(0, a))``, written with
+    the shared ``log1p(exp(−|a|))`` term explicit: ``logaddexp(x, y) =
+    max(x, y) + log1p(exp(−|x−y|))`` and both calls share ``|0−(±a)| =
+    |a|``, so this is the *same float computation* (bit-identical, ±inf
+    included) with ONE exp/log1p pair instead of two — XLA would CSE the
+    duplicate anyway, the Pallas kernels are not guaranteed to."""
+    t = jnp.log1p(jnp.exp(-jnp.abs(a)))
     zero = jnp.zeros_like(a)
-    return -jnp.logaddexp(zero, -a), -jnp.logaddexp(zero, a)
+    return (-(jnp.maximum(zero, -a) + t), -(jnp.maximum(zero, a) + t))
 
 
 def _apply_perm(P, x):
@@ -295,6 +303,8 @@ _BROADCAST_ALGEBRA = {
     "info_leaf": _info_leaf,
     "identity_r": _identity_r,
     "broadcast_rows": _broadcast_rows,
+    "rate1_fast": _rate1_fast,
+    "rep_fast": _rep_fast,
 }
 
 
@@ -370,6 +380,28 @@ def _identity_r_rank(Lsz, batch, dtype):
     return lax.broadcasted_iota(jnp.int32, (Lsz, batch), 0)
 
 
+def _onehot_to_rank(R):
+    """One-hot selection ``[L, J, B]`` → rank vector ``[L, B] int32``
+    (exact: the weighted sum has a single nonzero term with a small-int
+    weight representable in the float dtype)."""
+    J = R.shape[1]
+    j_iota = lax.broadcasted_iota(jnp.int32, R.shape, 1)
+    return jnp.sum(jnp.where(R != 0, j_iota, 0), axis=1, dtype=jnp.int32)
+
+
+def _rate1_fast_rank(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """``_rate1_fast`` for the rank algebra (XLA side): identical
+    computation, permutation converted to a rank vector at the boundary."""
+    beta, pm, R = _rate1_fast(alpha, pm, Lsz, leaf_impl)
+    return beta, pm, None if R is None else _onehot_to_rank(R)
+
+
+def _rep_fast_rank(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """``_rep_fast`` for the rank algebra (XLA side)."""
+    beta, pm, R = _rep_fast(alpha, pm, Lsz, leaf_impl)
+    return beta, pm, _onehot_to_rank(R)
+
+
 #: rank-vector list algebra — XLA broadcast forms
 _RANK_ALGEBRA = {
     "perm": "rank",
@@ -379,6 +411,8 @@ _RANK_ALGEBRA = {
     "info_leaf": _info_leaf_rank,
     "identity_r": _identity_r_rank,
     "broadcast_rows": _broadcast_rows,
+    "rate1_fast": _rate1_fast_rank,
+    "rep_fast": _rep_fast_rank,
 }
 
 
@@ -409,12 +443,14 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     flags = np.asarray(flags, bool)
     S = len(flags)
     assert node_mode in ("exact", "fast"), node_mode
-    if node_mode == "fast":
-        # the fast nodes use lax.sort / scatter forms the Pallas kernel
-        # algebra cannot express — XLA broadcast algebra only
-        assert algebra is None, "node_mode='fast' is XLA-only"
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
+    if node_mode == "fast":
+        # fast nodes come from the algebra: XLA forms here, the
+        # Mosaic-safe iterative forms in ops/scl_body_pallas.py (the
+        # one-hot LOOP algebra has none — kernel fast is rank-only)
+        assert "rate1_fast" in algebra, \
+            "node_mode='fast' needs an algebra with fast list nodes"
     apply_perm = algebra["apply_perm"]
     apply_perm_bits = algebra["apply_perm_bits"]
     compose = algebra["compose"]
@@ -437,9 +473,9 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
             return info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
         if node_mode == "fast":
             if not sub.any():        # rate-1: all-info subtree
-                return _rate1_fast(alpha, pm, Lsz, leaf_impl)
+                return algebra["rate1_fast"](alpha, pm, Lsz, leaf_impl)
             if sub[:-1].all() and not sub[-1]:   # repetition subtree
-                return _rep_fast(alpha, pm, Lsz, leaf_impl)
+                return algebra["rep_fast"](alpha, pm, Lsz, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
@@ -769,8 +805,6 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
     assert perm_impl in ("onehot", "rank"), perm_impl
-    if node_mode == "fast":
-        perm_impl = "onehot"  # fast-node helpers are one-hot only
     alg_x = _RANK_ALGEBRA if perm_impl == "rank" else _BROADCAST_ALGEBRA
     S = min(chunk, N)
     assert S & (S - 1) == 0 and N % S == 0
@@ -793,9 +827,17 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         pattern_ids[c] = unique[key]
     assert node_mode in ("exact", "fast"), node_mode
     if node_mode == "fast":
-        assert body_impl == "xla", "node_mode='fast' requires body_impl='xla'"
-        assert control_impl in ("split", "fused", "unroll-fused"), (
-            "node_mode='fast' is XLA-only (no Pallas control modes)")
+        # kernel fast nodes exist only in the rank algebra
+        # (ops/scl_body_pallas._rate1_fast_rank_loop); the one-hot forms
+        # use lax.sort/scatter and stay XLA-only
+        assert control_impl not in ("mega", "mega-interpret"), (
+            "node_mode='fast' is not supported by the mega control")
+        if perm_impl == "onehot":
+            assert body_impl == "xla", \
+                "node_mode='fast' with perm_impl='onehot' is XLA-only"
+            assert control_impl in ("split", "fused", "unroll-fused"), (
+                "node_mode='fast' with perm_impl='onehot' has no Pallas "
+                "control modes — use perm_impl='rank'")
     if body_impl == "pallas":
         # fused VMEM-resident subtree bodies (ops/scl_body_pallas.py);
         # bit-identical to the XLA bodies (the kernel traces the same jnp
@@ -803,7 +845,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         from ...ops.scl_body_pallas import make_chunk_body_pallas
 
         bodies = [make_chunk_body_pallas(f, Lsz, dtype, leaf_impl=leaf_impl,
-                                         perm_impl=perm_impl)
+                                         perm_impl=perm_impl,
+                                         node_mode=node_mode)
                   for f in unique_flags]
     else:
         assert body_impl == "xla", body_impl
@@ -1061,7 +1104,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                             leaf_impl=leaf_impl, batch_tile=batch_tile,
                             interpret=control_impl == "kernel-interpret",
                             compose_a=ca, compose_b=cb,
-                            perm_impl=perm_impl)
+                            perm_impl=perm_impl, node_mode=node_mode)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -1144,7 +1187,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                     unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
                     leaf_impl=leaf_impl, batch_tile=batch_tile,
                     interpret=control_impl == "kernel-interpret",
-                    perm_impl=perm_impl)
+                    perm_impl=perm_impl, node_mode=node_mode)
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,
                                     bodies[pattern_ids[C - 1]],

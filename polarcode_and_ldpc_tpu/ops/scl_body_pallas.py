@@ -161,10 +161,18 @@ def _compose_rank_loop(a, b):
 
 
 def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
-    """Mosaic-friendly ``scanscl._info_leaf_rank``: identical candidate
-    ranking to ``_info_leaf_loop``, but the permutation comes back as a
-    rank vector ``[L, B] int32`` (source-path index per surviving slot)."""
-    del leaf_impl  # only the one-hot ranking exists in-kernel
+    """Mosaic-friendly ``scanscl._info_leaf_rank``: all-pairs stable
+    ranking + per-slot where-sum extraction, rank-vector output.
+
+    NOTE (v5e, 2026-08-19): an iterative max-extraction variant
+    (``_topk_desc_loop``) was tried here and REVERTED — ~40% fewer
+    element-ops but measured 214 vs 276 Mbps at the flagship shape: its L
+    serially-dependent rounds (each gated on the running ``taken`` mask,
+    two cross-sublane reductions per round) pipeline far worse on the VPU
+    than the fully parallel all-pairs comparisons.  The iterative form
+    survives only where all-pairs is quadratic-in-S unaffordable (the
+    fast rate-1 node's position top-K)."""
+    del leaf_impl  # only the all-pairs ranking exists in-kernel
     from ..models.polar.scanscl import _d0_d1
 
     d0, d1 = _d0_d1(a)
@@ -189,12 +197,104 @@ def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
     return bits[:, None, :], pm2, src
 
 
+def _prune_2l_rank_loop(cand, Lsz):
+    """Mosaic ``scanscl._prune_2l`` (rank form): stable top-L over ordered
+    candidates ``[2L, B]`` → ``(pm [L, B], second [L, B] int32 ∈ {0,1},
+    r [L, B] int32)``.  All-pairs ranking (see the perf note on
+    ``_info_leaf_rank_loop`` — the iterative form pipelines worse)."""
+    two_l = cand.shape[0]
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    rank = jnp.zeros(cand.shape, jnp.int32)
+    for j in range(two_l):
+        cj = cand[j][None, :]
+        before = (cj > cand) | ((cj == cand) & (j < i_iota))
+        rank = rank + before.astype(jnp.int32)
+    pm_rows, idx_rows = [], []
+    for l in range(Lsz):
+        sel = rank == l
+        pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
+        idx_rows.append(jnp.sum(jnp.where(sel, i_iota, 0), axis=0))
+    pm2 = jnp.stack(pm_rows, axis=0)
+    idx = jnp.stack(idx_rows, axis=0)
+    second = (idx >= Lsz).astype(jnp.int32)
+    return pm2, second, idx - second * Lsz
+
+
+def _rate1_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """Mosaic ``scanscl._rate1_fast`` (SSCL fast rate-1 node) in the rank
+    algebra: ``lax.sort`` becomes K rounds of iterative stable
+    min-extraction (identical selections — min with lowest-position
+    tie-break is exactly the stable ascending sort's prefix) and the
+    flip-decision scatter becomes per-stage [L, 1, B] planes.  Metric
+    arithmetic mirrors the XLA form term for term (same ``_tree_sum``
+    order, same ``logaddexp`` composition) — outputs are bit-identical
+    (tests enforce vs the XLA fast path and the NumPy twin)."""
+    del leaf_impl
+    from ..models.polar.scanscl import _tree_sum
+
+    S_node = alpha.shape[1]
+    mags = jnp.abs(alpha)
+    hard = (alpha < 0).astype(jnp.int8)
+    pm = pm - _tree_sum(jnp.logaddexp(jnp.zeros_like(mags), -mags), axis=1)
+    K = min(Lsz - 1, S_node)
+    if K == 0:  # L = 1: plain hard decision, no branching
+        return hard, pm, None
+    pos = jax.lax.broadcasted_iota(jnp.int32, mags.shape, 1)
+    inf = jnp.asarray(jnp.inf, mags.dtype)
+    taken = jnp.zeros(mags.shape, jnp.bool_)
+    magsK, idxK = [], []                         # K × [L, 1, B]
+    for _ in range(K):
+        avail = jnp.where(taken, inf, mags)
+        m = jnp.min(avail, axis=1, keepdims=True)
+        eq = (avail == m) & ~taken
+        first = jnp.min(jnp.where(eq, pos, S_node), axis=1, keepdims=True)
+        sel = pos == first
+        taken = taken | sel
+        magsK.append(m)
+        idxK.append(first)
+    fdec: list = []                              # grows to K × [L, 1, B]
+    R_tot = None
+    for s in range(K):
+        cand = jnp.concatenate([pm, pm - magsK[s][:, 0, :]], axis=0)
+        pm, flip, r = _prune_2l_rank_loop(cand, Lsz)
+        # permute every accumulated per-path plane into the new list order
+        magsK = magsK[: s + 1] + [_apply_perm_rank_loop(r, x)
+                                  for x in magsK[s + 1:]]
+        idxK = [_apply_perm_rank_loop(r, x) for x in idxK]
+        fdec = [_apply_perm_rank_loop(r, f) for f in fdec]
+        fdec.append(flip[:, None, :])
+        R_tot = r if R_tot is None else _compose_rank_loop(r, R_tot)
+    hard = _apply_perm_rank_loop(R_tot, hard)
+    # flip positions are distinct per path (extraction without
+    # replacement), so the XLA form's Σ mask·fdec equals this XOR chain
+    flips = jnp.zeros(hard.shape, jnp.int8)
+    for s in range(K):
+        hit = (pos == idxK[s]) & (fdec[s] > 0)
+        flips = flips ^ hit.astype(jnp.int8)
+    return hard ^ flips, pm, R_tot
+
+
+def _rep_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
+    """Mosaic ``scanscl._rep_fast`` (fast repetition node), rank algebra."""
+    del leaf_impl
+    from ..models.polar.scanscl import _d0_d1, _tree_sum
+
+    d0, d1 = _d0_d1(alpha)
+    cand = jnp.concatenate([pm + _tree_sum(d0, axis=1),
+                            pm + _tree_sum(d1, axis=1)], axis=0)
+    pm, bit, r = _prune_2l_rank_loop(cand, Lsz)
+    beta = (jnp.zeros(alpha.shape, jnp.int32) + bit[:, None, :]).astype(
+        jnp.int8)
+    return beta, pm, r
+
+
 def _identity_r_rank_loop(Lsz, batch, dtype):
     del dtype
     return jax.lax.broadcasted_iota(jnp.int32, (Lsz, batch), 0)
 
 
-#: Mosaic-friendly rank-vector list algebra
+#: Mosaic-friendly rank-vector list algebra (incl. SSCL fast list nodes —
+#: the kernel side of ``node_mode="fast"``)
 _RANK_LOOP_ALGEBRA = {
     "perm": "rank",
     "apply_perm": _apply_perm_rank_loop,
@@ -202,19 +302,23 @@ _RANK_LOOP_ALGEBRA = {
     "compose": _compose_rank_loop,
     "info_leaf": _info_leaf_rank_loop,
     "identity_r": _identity_r_rank_loop,
+    "rate1_fast": _rate1_fast_rank_loop,
+    "rep_fast": _rep_fast_rank_loop,
 }
 
 
 def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
                            batch_tile: int = 128, interpret: bool = False,
                            leaf_impl: str = "onehot",
-                           perm_impl: str = "onehot"):
+                           perm_impl: str = "onehot",
+                           node_mode: str = "exact"):
     """Pallas-fused equivalent of ``scanscl._make_chunk_body``.
 
     Returns ``body(alpha [L, S, B], pm [L, B]) → (beta [L, S, B] int8,
     pm [L, B], R)`` with B a multiple of ``batch_tile``.  ``R`` is a
     one-hot ``[L, L, B]`` (``perm_impl="onehot"``) or an int32 rank vector
-    ``[L, B]`` (``"rank"``)."""
+    ``[L, B]`` (``"rank"``).  ``node_mode="fast"`` (SSCL fast list nodes)
+    requires the rank algebra."""
     from ..models.polar.scanscl import _RANK_ALGEBRA, _make_chunk_body
 
     flags = np.asarray(flags, bool)
@@ -222,9 +326,12 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
     assert S % 32 == 0, "int8 beta output needs S multiple of 32"
     assert perm_impl in ("onehot", "rank"), perm_impl
     rank = perm_impl == "rank"
+    assert node_mode == "exact" or rank, \
+        "in-kernel node_mode='fast' requires perm_impl='rank'"
     inner = _make_chunk_body(
         flags, Lsz, dtype, leaf_impl,
-        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA,
+        node_mode=node_mode)
     xla_algebra = _RANK_ALGEBRA if rank else None
 
     def kernel(alpha_ref, pm_ref, beta_ref, pm_out_ref, r_ref):
@@ -246,7 +353,8 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
             # batches (tiny MC chunks, odd test shapes) take the XLA body —
             # bit-identical by construction, so this is purely a perf choice
             return _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                                    algebra=xla_algebra)(alpha, pm)
+                                    algebra=xla_algebra,
+                                    node_mode=node_mode)(alpha, pm)
         grid = (B // batch_tile,)
         return pl.pallas_call(
             kernel,

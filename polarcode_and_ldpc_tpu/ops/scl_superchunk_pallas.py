@@ -127,7 +127,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                            leaf_impl: str = "onehot",
                            batch_tile: int = 128, interpret: bool = False,
                            compose_a=None, compose_b=None,
-                           perm_impl: str = "onehot"):
+                           perm_impl: str = "onehot",
+                           node_mode: str = "exact"):
     """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
 
     Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
@@ -144,6 +145,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     flags = np.asarray(flags, bool)
     assert perm_impl in ("onehot", "rank"), perm_impl
     rank = perm_impl == "rank"
+    assert node_mode == "exact" or rank, \
+        "in-kernel node_mode='fast' requires perm_impl='rank'"
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     a_read, a_write = touch["alpha_read"], touch["alpha_write"]
     b_read, b_write = touch["beta_read"], touch["beta_write"]
@@ -152,7 +155,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
 
     body_kernel = _make_chunk_body(
         flags, Lsz, dtype, leaf_impl,
-        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA,
+        node_mode=node_mode)
     super_kernel_fn = _make_super_fn(
         sel, j, t, sizes, Lsz, dtype, body_kernel,
         algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA,
@@ -160,7 +164,7 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
     xla_algebra = _RANK_ALGEBRA if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                                algebra=xla_algebra)
+                                algebra=xla_algebra, node_mode=node_mode)
     super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla,
                                   algebra=xla_algebra,
                                   compose_a=compose_a, compose_b=compose_b)
@@ -259,22 +263,26 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
                                 dtype, leaf_impl: str = "onehot",
                                 batch_tile: int = 128,
                                 interpret: bool = False,
-                                perm_impl: str = "onehot"):
+                                perm_impl: str = "onehot",
+                                node_mode: str = "exact"):
     """Fused LAST chunk (``scanscl._make_last_fn``): one kernel produces
     the full root beta plane ``[L, N, B] int8`` + final metrics."""
     flags = np.asarray(flags, bool)
     assert perm_impl in ("onehot", "rank"), perm_impl
     rank = perm_impl == "rank"
+    assert node_mode == "exact" or rank, \
+        "in-kernel node_mode='fast' requires perm_impl='rank'"
     N = sizes[0]
     body_kernel = _make_chunk_body(
         flags, Lsz, dtype, leaf_impl,
-        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA)
+        algebra=_RANK_LOOP_ALGEBRA if rank else _LOOP_ALGEBRA,
+        node_mode=node_mode)
     last_kernel_fn = _make_last_fn(
         t, sizes, Lsz, dtype, body_kernel,
         algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA)
     xla_algebra = _RANK_ALGEBRA if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
-                                algebra=xla_algebra)
+                                algebra=xla_algebra, node_mode=node_mode)
     last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla,
                                 algebra=xla_algebra)
 

@@ -156,13 +156,17 @@ class MonteCarloSimulator:
             # replicated scalars, so this works multi-host too
             raw_step = step_fn
 
-            def trim(root_key, frame_ids, remaining, *extra):
+            def trim(root_key, frame_ids, remaining, take_frames, *extra):
                 out = raw_step(root_key, frame_ids, *extra)
                 fe = out["frame_error"].astype(jnp.int32)
                 cum = jnp.cumsum(fe)
                 # frames strictly before the crossing, plus the crossing
-                # frame itself (reference ber_simulation.py:191-192)
-                mask = (cum - fe) < remaining
+                # frame itself (reference ber_simulation.py:191-192) —
+                # AND within the first ``take_frames`` of the chunk (the
+                # final partial chunk of a ``num_frames`` budget that is
+                # not a chunk multiple)
+                idx = jnp.arange(fe.shape[0], dtype=jnp.int32)
+                mask = ((cum - fe) < remaining) & (idx < take_frames)
                 red = {
                     "take": jnp.sum(mask, dtype=jnp.int64),
                     "bit_errors": jnp.sum(
@@ -235,15 +239,20 @@ class MonteCarloSimulator:
             acc.iteration_frames -= self.chunk_frames
 
     def _trim_crossing(self, acc: "MonteCarloResult", root_key, start: int,
-                       remaining: int, extra_args: tuple) -> int:
-        """Recompute the crossing chunk with in-order trim; returns the
-        number of frames accounted (reference semantics: up to and
-        including the frame that crossed ``max_errors``)."""
+                       remaining: int, extra_args: tuple,
+                       take_frames: Optional[int] = None) -> int:
+        """Recompute the crossing/partial chunk with in-order trim; returns
+        the number of frames accounted (reference semantics: up to and
+        including the frame that crossed ``max_errors``, and never beyond
+        the first ``take_frames`` of the chunk)."""
         ids = jnp.arange(start, start + self.chunk_frames, dtype=jnp.uint32)
         if self._id_sharding is not None:
             ids = jax.device_put(ids, self._id_sharding)
+        if take_frames is None:
+            take_frames = self.chunk_frames
         out = {k: int(v) for k, v in
-               self._trim(root_key, ids, remaining, *extra_args).items()}
+               self._trim(root_key, ids, remaining, take_frames,
+                          *extra_args).items()}
         take = out["take"]
         acc.frames += take
         acc.bit_errors += out["bit_errors"]
@@ -307,16 +316,30 @@ class MonteCarloSimulator:
             for j, stats in enumerate(self._fetch_chunk(pending)):
                 sub_start = pending_offset + j * self.chunk_frames
                 if self.reduction == "scalar":
-                    self._accumulate_scalar(acc, stats)
-                    offset = sub_start + self.chunk_frames
-                    if (max_errors is not None
-                            and acc.frame_errors >= max_errors):
-                        # exact reference accounting: roll the crossing
-                        # chunk back, recompute it with the on-device trim
-                        self._rollback_scalar(acc, stats)
+                    take = min(self.chunk_frames, num_frames - acc.frames)
+                    if take < self.chunk_frames:
+                        # final partial chunk of a num_frames budget that
+                        # is not a chunk multiple: the reduced scalars
+                        # cover the whole chunk — recompute with the
+                        # in-order count trim so exactly ``take`` frames
+                        # are accounted (matching per_frame mode)
+                        remaining = (max_errors - acc.frame_errors
+                                     if max_errors is not None
+                                     else self.chunk_frames + 1)
                         offset = sub_start + self._trim_crossing(
-                            acc, root_key, sub_start,
-                            max_errors - acc.frame_errors, extra_args)
+                            acc, root_key, sub_start, remaining,
+                            extra_args, take_frames=take)
+                    else:
+                        self._accumulate_scalar(acc, stats)
+                        offset = sub_start + self.chunk_frames
+                        if (max_errors is not None
+                                and acc.frame_errors >= max_errors):
+                            # exact reference accounting: roll the crossing
+                            # chunk back, recompute with the on-device trim
+                            self._rollback_scalar(acc, stats)
+                            offset = sub_start + self._trim_crossing(
+                                acc, root_key, sub_start,
+                                max_errors - acc.frame_errors, extra_args)
                 else:
                     take = min(self.chunk_frames, num_frames - acc.frames)
                     taken = self._accumulate(acc, stats, take, max_errors)

@@ -125,11 +125,42 @@ def test_fast_mode_through_pipeline_and_adaptive(rng):
     assert out.shape == (16, K) and s["frames"] == 16
 
 
-def test_fast_mode_requires_xla_path():
+def test_fast_mode_path_constraints():
+    # mega control has no fast nodes; the one-hot algebra's fast helpers
+    # are XLA-only (lax.sort/scatter) — rank is required for kernel paths
     mask = _mask(64, 32)
     with pytest.raises(AssertionError):
         make_scl_decoder_scan(64, mask, 4, chunk=16, node_mode="fast",
-                              body_impl="pallas")
+                              control_impl="mega")
     with pytest.raises(AssertionError):
         make_scl_decoder_scan(64, mask, 4, chunk=16, node_mode="fast",
-                              control_impl="mega")
+                              body_impl="pallas", perm_impl="onehot")
+    with pytest.raises(AssertionError):
+        make_scl_decoder_scan(64, mask, 4, chunk=16, node_mode="fast",
+                              control_impl="kernel", perm_impl="onehot")
+
+
+def test_fast_nodes_kernel_bit_identical(rng):
+    """The in-kernel fast nodes (rank algebra: iterative min-extraction
+    top-K, per-stage flip planes — ops/scl_body_pallas.py) must be
+    bit-identical to the XLA fast path (interpret mode on CPU)."""
+    N, K, L, chunk = 128, 70, 8, 32
+    mask = _mask(N, K)
+    llr = jnp.asarray((rng.normal(size=(128, N)) * 1.5).astype(np.float32))
+    d_x = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=chunk, control_impl="unroll-fused",
+        node_mode="fast", perm_impl="rank"))
+    d_k = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=chunk, control_impl="kernel-interpret",
+        node_mode="fast", perm_impl="rank"))
+    u_x, m_x = d_x(llr)
+    u_k, m_k = d_k(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_k))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))
+    # and the onehot XLA fast path agrees (rank wrappers are conversions)
+    d_o = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=chunk, control_impl="split",
+        node_mode="fast", perm_impl="onehot"))
+    u_o, m_o = d_o(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_o))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_o))

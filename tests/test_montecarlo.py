@@ -230,6 +230,33 @@ def test_scalar_reduction_matches_per_frame():
     assert sca.frame_errors == per.frame_errors
 
 
+def test_scalar_reduction_partial_final_chunk_exact():
+    # num_frames NOT a chunk multiple: scalar mode must account exactly
+    # num_frames (the final partial chunk is recomputed with the in-order
+    # count trim), matching per-frame mode bit-for-bit (VERDICT r2 weak #5)
+    step, K = _polar_step(snr_db=1.0)
+    per = MonteCarloSimulator(step, K, chunk_frames=64).run(200, seed=13)
+    sca = MonteCarloSimulator(step, K, chunk_frames=64,
+                              reduction="scalar").run(200, seed=13)
+    assert sca.frames == per.frames == 200
+    assert sca.bit_errors == per.bit_errors
+    assert sca.frame_errors == per.frame_errors
+
+
+def test_scalar_reduction_partial_chunk_with_early_stop():
+    # both limits in the same chunk: the error crossing inside the final
+    # partial chunk must still win with exact reference accounting
+    step, K = _polar_step(snr_db=-10.0)
+    per = MonteCarloSimulator(step, K, chunk_frames=32).run(
+        40, max_errors=5, seed=0)
+    sca = MonteCarloSimulator(step, K, chunk_frames=32,
+                              reduction="scalar").run(40, max_errors=5,
+                                                      seed=0)
+    assert sca.frames == per.frames
+    assert sca.bit_errors == per.bit_errors
+    assert sca.frame_errors == per.frame_errors
+
+
 def test_chunks_per_dispatch_invariance():
     # batching several device chunks per host dispatch (the remote-tunnel
     # round-trip amortization) must not change any accounting: frames are

@@ -137,9 +137,22 @@ def speed_accuracy_tradeoff(snr_pick: float = -1.0) -> Path:
     return out
 
 
+def improvement_comparison() -> Path:
+    """The reference SCL report's list-size improvement panel
+    (``sc_vs_scl.py:453-485``), regenerated from the committed study —
+    the fifth and final figure of that report set."""
+    import polarcode_and_ldpc_tpu  # noqa: F401 — path setup
+    from polarcode_and_ldpc_tpu.cli.sc_vs_scl import plot_improvement_summary
+
+    d = json.loads((ROOT / "results/sc_scl_comparison/results.json").read_text())
+    out = ROOT / "results/sc_scl_comparison/improvement_comparison.png"
+    plot_improvement_summary(d, out)
+    return out
+
+
 def main() -> None:
     for fn in (throughput_comparison, complexity_comparison,
-               speed_accuracy_tradeoff):
+               speed_accuracy_tradeoff, improvement_comparison):
         print("wrote", fn())
 
 

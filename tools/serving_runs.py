@@ -47,6 +47,10 @@ def main() -> None:
                     "whole-decode Pallas kernel, ~1.5x on v5e)")
     ap.add_argument("--scl-control", default="unroll-kernel",
                     choices=["split", "fused", "kernel", "unroll-kernel"])
+    ap.add_argument("--sweep-snrs", default="-1,0,1,1.5,2",
+                    help="comma list of SNRs for the end-to-end adaptive "
+                         "sweep ('' disables); low points force fallbacks")
+    ap.add_argument("--sweep-batch", type=int, default=8192)
     args = ap.parse_args()
     import jax
 
@@ -115,6 +119,60 @@ def main() -> None:
     }
     _log(f"adaptive: {out['adaptive_cascl_sc_pass']['decoded_info_mbps']:.0f} "
          f"Mbps SC-pass, CRC pass rate {pass_rate:.6f}")
+
+    # --- adaptive operating-range sweep (VERDICT r2 next-step #8): the
+    # END-TO-END adaptive decode (SC pass + host gather + padded CA-SCL
+    # fallback batches) across SNRs where the fallback actually triggers —
+    # effective throughput vs SNR, not just the trivially-fast regime ----
+    if args.sweep_snrs:
+        sweep = []
+        sweep_B = args.sweep_batch
+        for snr_db in (float(s) for s in args.sweep_snrs.split(",")):
+            data_s = rng.integers(0, 2, (sweep_B, K - 8)).astype(np.int8)
+            msgs_s = np.asarray(dec._crc.encode(jnp.asarray(data_s)))
+            u_s = np.zeros((sweep_B, N), np.int64)
+            u_s[:, info] = msgs_s
+            s = 1
+            while s < N:
+                u_s = u_s.reshape(sweep_B, N // (2 * s), 2, s)
+                u_s[:, :, 0, :] ^= u_s[:, :, 1, :]
+                u_s = u_s.reshape(sweep_B, N)
+                s *= 2
+            llr_s = jnp.asarray(awgn_llr_np(
+                u_s, snr_db, rng.standard_normal((sweep_B, N)))
+                .astype(np.float32))
+            bits, stats = dec.decode(llr_s, return_stats=True)  # warm-up
+            best_s = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                bits, stats = dec.decode(llr_s, return_stats=True)
+                best_s = min(best_s, time.perf_counter() - t0)
+            frame_err = (bits != msgs_s).any(axis=1)
+            point = {
+                "snr_db": snr_db,
+                "sc_pass_rate": stats["sc_pass_rate"],
+                "fallback_rate": 1.0 - stats["sc_pass_rate"],
+                "scl_fallbacks": stats["scl_fallbacks"],
+                "effective_info_mbps": sweep_B * (K - 8) / best_s / 1e6,
+                "seconds_per_batch": best_s,
+                "ber": float((bits != msgs_s).mean()),
+                "fer": float(frame_err.mean()),
+            }
+            sweep.append(point)
+            _log(f"adaptive sweep @{snr_db:+.1f} dB: fallback rate "
+                 f"{point['fallback_rate']:.3f}, "
+                 f"{point['effective_info_mbps']:.1f} Mbps effective, "
+                 f"FER {point['fer']:.2e}")
+        out["adaptive_sweep"] = {
+            "batch": sweep_B,
+            "fallback_batch": dec.fallback_batch,
+            "note": ("end-to-end adaptive decode (SC pass + on-device CRC "
+                     "+ host gather + padded CA-SCL fallback batches); "
+                     "exactness property (adaptive == CA-SCL on "
+                     "CRC-failing frames) is enforced by "
+                     "tests/test_adaptive.py"),
+            "points": sweep,
+        }
 
     # --- 10M-frame Monte-Carlo point -------------------------------------
     step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
