@@ -86,7 +86,7 @@ def _polar_encode_host(msgs, N, info_bits):
 def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
                      control_impl: str = "split", chunk: int = 128,
                      scan_chunks: int = 0, node_mode: str = "exact",
-                     perm_impl: str = "rank") -> dict:
+                     perm_impl: str = "rank", batch_tile: int = 128) -> dict:
     # chunk-scan decoder (models/polar/scanscl.py): compile is O(unique
     # subtree patterns) and the batch-last layout keeps lanes full, so big
     # batches are affordable.  v5e (2026-08-17): XLA bodies 116.4 Mbps at
@@ -127,7 +127,7 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
     dec = make_scl_decoder(N, frozen_mask, L, impl="scan-chunked",
                            body_impl=body_impl, chunk=chunk,
                            control_impl=control_impl, node_mode=node_mode,
-                           perm_impl=perm_impl)
+                           perm_impl=perm_impl, batch_tile=batch_tile)
     if scan_chunks:
         # on-chip chained decode: a lax.scan walks scan_chunks batches in
         # ONE dispatched program (the remote-tunnel dispatch round-trip
