@@ -339,16 +339,18 @@ def main() -> None:
         print(json.dumps(result), flush=True)
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"sc mega stage failed (keeping prior line): {e!r}")
-    # staged upgrade: whole-chunk-step Pallas superkernels (unroll-kernel,
-    # chunk 64) are ~1.8x the safe line but compile ~4.5-8 min over the
-    # tunnel; attempt them LAST so a stall/kill can only lose the upgrade,
-    # never the safe lines above (the driver reads the last complete line)
-    # batch-shape sweep at fixed 131072 total frames (v5e, 2026-08-18,
+    # staged upgrade: whole-chunk-step Pallas superkernels (unroll-kernel)
+    # are ~2.2x the safe line but compile ~3.5-8 min over the tunnel;
+    # attempt them LAST so a stall/kill can only lose the upgrade, never
+    # the safe lines above (the driver reads the last complete line).
+    # batch-shape sweep at fixed 131072 frames (v5e, 2026-08-18,
     # tools/scl_batch_shape_ab.py): 16384x8 215.1, 8192x16 240.8,
-    # 4096x32 246.8, 2048x64 238.9 Mbps — 4096x32 is the optimum
+    # 4096x32 246.8, 2048x64 238.9 — 4096x32 is the optimum.  With the
+    # round-3 rank algebra the chunk optimum moved 64 → 128 (v5e,
+    # 2026-08-19: c64 254.8, c128 277.7; 8192x16 c128 272.8).
     try:
         polar_p = bench_polar_scl8(batch=4096, control_impl="unroll-kernel",
-                                   chunk=64, scan_chunks=32)
+                                   chunk=128, scan_chunks=32)
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"polar pallas upgrade failed (keeping xla line): {e!r}")
         return
@@ -362,7 +364,7 @@ def main() -> None:
                 polar_p["roofline"]["algorithmic_ops_per_s"] / 1e9, 2),
             scl_body="in-kernel",
             scl_control="unroll-kernel",
-            scl_chunk=64,
+            scl_chunk=128,
             scl_batch=4096,
             scl_scan_chunks=32,
             xla_body_mbps=round(polar["mbps"], 3),

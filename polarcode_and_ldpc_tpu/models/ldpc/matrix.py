@@ -137,11 +137,27 @@ def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
                          z: Optional[int] = None) -> np.ndarray:
     """Dispatching constructor (reference ``matrix.py:53-91``; ``regular``
     and ``qc`` are new — see :func:`regular_construction` /
-    :func:`qc_ldpc_construction`)."""
+    :func:`qc_ldpc_construction`).
+
+    ``method="gallager"`` is the classic banded construction (band 0 =
+    consecutive runs of d_c ones, bands 1..d_v−1 independent column
+    permutations — the pyldpc algorithm, ``oracle/constructions_np.py``).
+    The oracle differential measured it with a visibly better error floor
+    than ``regular`` at n=504 (BER 0 vs ~6e-7 at 2.5 dB, 200k frames —
+    ``results/oracle_differential/``); ``regular`` remains the default of
+    ``LDPCEncoder`` for baseline-parity continuity."""
     m = n - k
     if method in ("qc", "qc_ldpc"):
         return qc_ldpc_construction(n, k, z or max(2, n // 64), dv, dc, seed)
-    if method in ("mackay", "regular", "gallager"):
+    if method == "gallager":
+        from ...oracle.constructions_np import parity_check_matrix_np
+
+        if (dv * n) % dc != 0 or ((n * dv) // dc) % dv != 0:
+            print("Warning: banded Gallager construction impossible for "
+                  f"(n={n}, dv={dv}, dc={dc}); using mackay")
+            return mackay_construction(n, k, dv, dc, seed)
+        return parity_check_matrix_np(n, dv, dc, seed)
+    if method in ("mackay", "regular"):
         if dv * n != dc * m:
             dc = (dv * n) // m
             if dv * n % m != 0:

@@ -184,16 +184,18 @@ def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
         cj = cand[j][None, :]                               # [1, B]
         before = (cj > cand) | ((cj == cand) & (j < i_iota))
         rank = rank + before.astype(jnp.int32)
-    jmod = jnp.where(i_iota < Lsz, i_iota, i_iota - Lsz)    # cand → src path
-    pm_rows, bit_rows, src_rows = [], [], []
+    # extract the slot metric and the selected CANDIDATE index; the bit
+    # plane and the source path derive from the index afterwards on
+    # [L, B] — one fewer [2L, B] where+sum pass per slot
+    pm_rows, idx_rows = [], []
     for l in range(Lsz):
         sel = rank == l                                     # [2L, B]
         pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
-        bit_rows.append(jnp.sum(sel[Lsz:].astype(jnp.int8), axis=0))
-        src_rows.append(jnp.sum(jnp.where(sel, jmod, 0), axis=0))
+        idx_rows.append(jnp.sum(jnp.where(sel, i_iota, 0), axis=0))
     pm2 = jnp.stack(pm_rows, axis=0)                        # [L, B]
-    bits = jnp.stack(bit_rows, axis=0).astype(jnp.int8)     # [L, B]
-    src = jnp.stack(src_rows, axis=0)                       # [L, B] int32
+    idx = jnp.stack(idx_rows, axis=0)                       # [L, B] int32
+    bits = (idx >= Lsz).astype(jnp.int8)
+    src = jnp.where(idx >= Lsz, idx - Lsz, idx)             # [L, B] int32
     return bits[:, None, :], pm2, src
 
 
@@ -275,7 +277,14 @@ def _rate1_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
 
 
 def _rep_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
-    """Mosaic ``scanscl._rep_fast`` (fast repetition node), rank algebra."""
+    """Mosaic ``scanscl._rep_fast`` (fast repetition node), rank algebra.
+
+    The repeated-bit plane is materialized by EXPLICIT concat of the
+    [L, 1, B] plane — a middle-dim broadcast-add (``zeros + bit[:,None,:]``)
+    aborts the TPU compiler when the node is composed with a sibling
+    (jellyfish ``Check failed: limits[i] <= dim(i)``, minimal repro
+    rep(16)+rep(16) at S=32; same bug class as the leading-dim relayout
+    workarounds elsewhere in this file)."""
     del leaf_impl
     from ..models.polar.scanscl import _d0_d1, _tree_sum
 
@@ -283,8 +292,8 @@ def _rep_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     cand = jnp.concatenate([pm + _tree_sum(d0, axis=1),
                             pm + _tree_sum(d1, axis=1)], axis=0)
     pm, bit, r = _prune_2l_rank_loop(cand, Lsz)
-    beta = (jnp.zeros(alpha.shape, jnp.int32) + bit[:, None, :]).astype(
-        jnp.int8)
+    plane = bit.astype(jnp.int8)[:, None, :]
+    beta = jnp.concatenate([plane] * alpha.shape[1], axis=1)
     return beta, pm, r
 
 

@@ -178,7 +178,7 @@ def main() -> None:
     step = make_polar_pipeline(N, K, frozen, None, decoder="ca-scl",
                                list_size=L,
                                scl_body_impl="xla" if args.cpu else "pallas",
-                               scl_chunk=64,
+                               scl_chunk=128 if not args.cpu else 64,
                                scl_control_impl=args.scl_control)
     sim = MonteCarloSimulator(step, K - 8, chunk_frames=8192,
                               chunks_per_dispatch=16)
