@@ -152,9 +152,13 @@ def generate_ldpc_matrix(n: int, k: int, method: str = "mackay", dv: int = 3,
     if method == "gallager":
         from ...oracle.constructions_np import parity_check_matrix_np
 
-        if (dv * n) % dc != 0 or ((n * dv) // dc) % dv != 0:
+        feasible = (dv > 1 and dc > dv
+                    and (dv * n) % dc == 0
+                    and ((n * dv) // dc) % dv == 0
+                    and (n * dv) // dc == m)  # honours the requested rate
+        if not feasible:
             print("Warning: banded Gallager construction impossible for "
-                  f"(n={n}, dv={dv}, dc={dc}); using mackay")
+                  f"(n={n}, k={k}, dv={dv}, dc={dc}); using mackay")
             return mackay_construction(n, k, dv, dc, seed)
         return parity_check_matrix_np(n, dv, dc, seed)
     if method in ("mackay", "regular"):

@@ -792,15 +792,16 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     one selection instead of one per leaf).  *Approximate*: error rates
     statistically match exact SCL (tests enforce) but outputs are not
     bit-identical to it; the bit-exactness oracle for this mode is
-    ``parity/polar_np.scl_decode_fast_np``.  Requires ``body_impl="xla"``
-    and a non-Pallas ``control_impl``.
+    ``parity/polar_np.scl_decode_fast_np``.  With ``perm_impl="rank"``
+    fast nodes run on every path incl. the Pallas kernels
+    (``ops/scl_body_pallas._rate1_fast_rank_loop``); with ``"onehot"``
+    they are XLA-only (``lax.sort``/scatter forms) and the mega control
+    never supports them.
 
     ``perm_impl`` (bit-identical outputs either way): ``"rank"`` (default)
     carries list permutations as int32 rank vectors ``[L, B]`` — L× less
     pending state and L× cheaper composition than ``"onehot"``'s
     ``[L, L, B]`` tensors (see the rank-algebra block above).
-    ``node_mode="fast"`` forces ``"onehot"`` (its flip-stage helpers are
-    one-hot only).
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)

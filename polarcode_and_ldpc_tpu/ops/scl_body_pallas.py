@@ -177,33 +177,18 @@ def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
 
     d0, d1 = _d0_d1(a)
     cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2L, B]
-    two_l = 2 * Lsz
-    i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-    rank = jnp.zeros(cand.shape, jnp.int32)
-    for j in range(two_l):
-        cj = cand[j][None, :]                               # [1, B]
-        before = (cj > cand) | ((cj == cand) & (j < i_iota))
-        rank = rank + before.astype(jnp.int32)
-    # extract the slot metric and the selected CANDIDATE index; the bit
-    # plane and the source path derive from the index afterwards on
-    # [L, B] — one fewer [2L, B] where+sum pass per slot
-    pm_rows, idx_rows = [], []
-    for l in range(Lsz):
-        sel = rank == l                                     # [2L, B]
-        pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
-        idx_rows.append(jnp.sum(jnp.where(sel, i_iota, 0), axis=0))
-    pm2 = jnp.stack(pm_rows, axis=0)                        # [L, B]
-    idx = jnp.stack(idx_rows, axis=0)                       # [L, B] int32
-    bits = (idx >= Lsz).astype(jnp.int8)
-    src = jnp.where(idx >= Lsz, idx - Lsz, idx)             # [L, B] int32
-    return bits[:, None, :], pm2, src
+    pm2, second, src = _prune_2l_rank_loop(cand, Lsz)
+    return second.astype(jnp.int8)[:, None, :], pm2, src
 
 
 def _prune_2l_rank_loop(cand, Lsz):
     """Mosaic ``scanscl._prune_2l`` (rank form): stable top-L over ordered
     candidates ``[2L, B]`` → ``(pm [L, B], second [L, B] int32 ∈ {0,1},
     r [L, B] int32)``.  All-pairs ranking (see the perf note on
-    ``_info_leaf_rank_loop`` — the iterative form pipelines worse)."""
+    ``_info_leaf_rank_loop`` — the iterative form pipelines worse); the
+    slot metric and the selected CANDIDATE index are extracted, the
+    second-half indicator and the source path derive from the index on
+    [L, B] — one fewer [2L, B] where+sum pass per slot."""
     two_l = cand.shape[0]
     i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     rank = jnp.zeros(cand.shape, jnp.int32)

@@ -76,7 +76,13 @@ def run_config(nproc: int, total_devices: int, frames: int) -> dict:
                          stderr=subprocess.PIPE, text=True)
         for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=1800) for p in procs]
+    # drain ALL pipes concurrently: a sequential communicate() can deadlock
+    # (worker k blocks writing a full stderr pipe while worker 0 waits on
+    # a collective with it)
+    import concurrent.futures as _f
+
+    with _f.ThreadPoolExecutor(max_workers=nproc) as ex:
+        outs = list(ex.map(lambda p: p.communicate(timeout=1800), procs))
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(f"worker {pid}/{nproc} rc={p.returncode}:\n"
