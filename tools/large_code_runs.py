@@ -118,7 +118,8 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0,
 
 def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                   chunk: int = 64, body: str = "xla",
-                  leaf: str = "onehot", control: str = "split") -> dict:
+                  leaf: str = "onehot", control: str = "split",
+                  node_mode: str = "exact") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -146,7 +147,8 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                       .astype(np.float32))
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
                                    chunk=chunk, body_impl=body,
-                                   leaf_impl=leaf, control_impl=control))
+                                   leaf_impl=leaf, control_impl=control,
+                                   node_mode=node_mode))
     _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}) ...")
     t0 = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(dec(llr))
@@ -161,7 +163,7 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
         "config": {"N": N, "K": K, "list_size": list_size, "decoder": "scl",
                    "impl": "scan-chunked", "chunk": chunk, "snr_db": snr_db,
                    "batch": batch, "body_impl": body, "leaf_impl": leaf,
-                   "control_impl": control},
+                   "control_impl": control, "node_mode": node_mode},
         "compile_seconds": t_compile,
         "decode_seconds_per_batch": t,
         "decoded_info_mbps": batch * K / t / 1e6,
@@ -182,6 +184,9 @@ def main():
     ap.add_argument("--control", default="split",
                     choices=["split", "fused", "kernel", "unroll-fused",
                              "unroll-kernel"])
+    ap.add_argument("--node-mode", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--out-name", default=None,
+                    help="artifact filename override (results/tpu/<name>)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -195,8 +200,10 @@ def main():
     else:
         out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk,
                             body=args.body, leaf=args.leaf,
-                            control=args.control)
+                            control=args.control, node_mode=args.node_mode)
         path = OUT_DIR / "polar_n4096_scl32.json"
+    if args.out_name:
+        path = OUT_DIR / args.out_name
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
