@@ -29,8 +29,8 @@ class PolarCodeConfig:
     algorithm: str = "sc"  # sc | scl | ca_scl
     list_size: int = 8
     # TPU fast-path knobs (bit-identical outputs in every combination;
-    # see models/polar/scanscl.py — "unroll-kernel" + chunk 64 is the
-    # measured flagship optimum on v5e)
+    # see models/polar/scanscl.py — "unroll-kernel" + chunk 128 with the
+    # rank list algebra is the measured flagship optimum on v5e)
     scl_body_impl: str = "xla"       # xla | pallas
     scl_chunk: int = 128
     scl_control_impl: str = "split"  # split | fused | kernel | unroll-* | mega
