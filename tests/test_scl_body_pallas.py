@@ -217,3 +217,42 @@ def test_mega_vmem_gate_degrades_to_hybrid(rng, monkeypatch):
     u_g, m_g = d_g(llr)
     np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_g))
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_g))
+
+
+def test_rank_pendings_shrink_superkernel_vmem():
+    # the rank algebra's pending state is [L, B] int32 instead of
+    # [L, L, B] f32 — at L=32 this is what makes most chunk-step variants
+    # fit the superkernel VMEM budget at all (N=4096 SCL-32: 3/63 →
+    # 44/63 kernel-eligible steps measured at build time)
+    import numpy as np
+
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        _ctz,
+        pend_liveness,
+    )
+    from polarcode_and_ldpc_tpu.ops.scl_superchunk_pallas import (
+        VMEM_OPERAND_BUDGET,
+        super_vmem_bytes,
+    )
+
+    N, L, S = 4096, 32, 64
+    C = N // S
+    t = int(np.log2(C))
+    sizes = [N >> lv for lv in range(t + 1)]
+    desc_k = np.array(
+        [t if c == 0
+         else (t + 1 + _ctz(c) if c == (1 << _ctz(c)) and _ctz(c) <= t - 2
+               else _ctz(c))
+         for c in range(C)], np.int32)
+    asc_j = np.array([_ctz(c + 1) for c in range(C)], np.int32)
+    ca, cb = pend_liveness(desc_k, asc_j, t, C)
+    eligible = {}
+    for perm in ("onehot", "rank"):
+        eligible[perm] = sum(
+            super_vmem_bytes(int(desc_k[c]), int(asc_j[c]), t, sizes, L,
+                             jnp.float32, 128, compose_a=ca[c],
+                             compose_b=cb[c], perm_impl=perm)
+            <= VMEM_OPERAND_BUDGET
+            for c in range(C - 1))
+    assert eligible["rank"] > 3 * eligible["onehot"]
+    assert eligible["rank"] >= 40  # pins the enabler, not the exact count
