@@ -213,6 +213,105 @@ def _tree_sum(x, axis: int = 1):
     return jnp.squeeze(x, axis=axis)
 
 
+def _leaf_llrs_zero_dec(alpha):
+    """All leaf LLRs of a subtree under all-zero decisions, level-parallel.
+
+    ``alpha [L, M, B] → y [L·M, B]`` (storage order per path block): with
+    every decided bit 0 the g update degenerates to ``second + first``, so
+    the whole f/g recursion has no cross-node data dependence — every node
+    of a level computes in ONE full-width op instead of the serial
+    recursion's per-node padded-tile ops (the round-3 breakdown showed the
+    frozen-side recursion as a large share of the all-frozen floor).  The
+    float expressions are IDENTICAL to the serial recursion's (only
+    independent nodes are reordered), so results are bit-exact.
+
+    The flat 2D + reshape-(rows//m, m, B) forms mirror
+    ``ops/sc_mega_pallas._polar_transform_nb`` — proven Mosaic-safe
+    in-kernel.  Valid for rate-0 subtrees and for any prefix of leaves
+    before the first info decision (e.g. the whole of a repetition
+    subtree, whose single info leaf comes last).
+    """
+    L, M, B = alpha.shape
+    if M == 1:
+        return alpha.reshape(L, B)
+    z = alpha.reshape(L * M, B)
+    R = L * M
+    m = M
+    while m > 1:
+        z3 = z.reshape(R // m, m, B)
+        h = m // 2
+        first, second = z3[:, :h, :], z3[:, h:, :]
+        z = jnp.concatenate([f_minsum(first, second), second + first],
+                            axis=1).reshape(R, B)
+        m = h
+    return z
+
+
+def _rate0_metric_levelpar(alpha):
+    """Σ log P(0 | leaf llr) over an all-frozen subtree → ``[L, B]``.
+
+    Bit-identical to the serial ``rate0(f(a,b)) + rate0(b + a)`` recursion:
+    the leaf LLRs come from the same expressions (``_leaf_llrs_zero_dec``)
+    and the adjacent-pair bottom-up reduction below computes the same
+    complete-binary-tree addition DAG the recursion's contiguous-halves
+    splits unfold to (addition is commutative bitwise; only the
+    associativity order matters, and it is preserved)."""
+    L, M, B = alpha.shape
+    s = _d0_d1(_leaf_llrs_zero_dec(alpha))[0]       # [L·M, B]
+    rows = L * M
+    while rows > L:
+        s3 = s.reshape(rows // 2, 2, B)
+        s = s3[:, 0, :] + s3[:, 1, :]               # adjacent pairs
+        rows //= 2
+    return s
+
+
+def _rows(y, idxs):
+    """Static row-gather ``y [R, B] → [len(idxs), B]`` via single-row
+    slices + concat (no strided slicing — Mosaic-safe)."""
+    return jnp.concatenate([y[i][None] for i in idxs], axis=0)
+
+
+def _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl):
+    """EXACT repetition node (all leaves frozen except the last in decode
+    order) — bit-identical to the leaf-by-leaf recursion, restructured:
+
+    * every decision before the final leaf is a frozen 0, so ALL leaf LLRs
+      (including the last) compute level-parallel (``_leaf_llrs_zero_dec``);
+    * the serial recursion adds the left rate-0 blocks' tree-sums to the
+      path metric one by one along the right spine (block j covers storage
+      ``[M − M/2^{j−1}, M − M/2^j)``); those block sums are exactly the
+      intermediate values of the adjacent-pair reduction of the leaf d0
+      array — captured at row ``m − 2`` (per path block) when the
+      per-block array size reaches ``m = 2^j``, then added to ``pm`` in
+      the same sequential order;
+    * the final leaf runs the standard info-leaf prune; the node codeword
+      is its bit repeated (ancestors XOR all-zero left betas), and no
+      internal permutations are needed (zero planes are perm-invariant).
+
+    ``alpha [L, M, B]``, ``pm [L, B]`` → ``(beta [L, M, B] int8, pm', R)``.
+    """
+    L, M, B = alpha.shape
+    y = _leaf_llrs_zero_dec(alpha)                  # [L·M, B]
+    d0 = _d0_d1(y)[0]
+    captures = []                                   # b_{log2 M} .. b_1
+    s, m, rows = d0, M, L * M
+    while m >= 2:
+        captures.append(_rows(s, [l * m + m - 2 for l in range(L)]))
+        if m == 2:
+            break
+        s3 = s.reshape(rows // 2, 2, B)
+        s = s3[:, 0, :] + s3[:, 1, :]
+        m //= 2
+        rows //= 2
+    for b in reversed(captures):                    # pm + b_1 + b_2 + ...
+        pm = pm + b
+    y_last = _rows(y, [l * M + M - 1 for l in range(L)])
+    bits, pm, R = info_leaf(y_last, pm, Lsz, leaf_impl)
+    beta = jnp.concatenate([bits.astype(jnp.int8)] * M, axis=1)
+    return beta, pm, R
+
+
 def _rate1_fast(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     """Fast rate-1 (all-info) list node — SSCL semantics (Hashemi et al.,
     "Fast Simplified Successive-Cancellation List Decoding", adapted to
@@ -457,18 +556,11 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     info_leaf = algebra["info_leaf"]
     identity_r = algebra["identity_r"]
 
-    def rate0_metric(alpha):
-        """Σ log P(0 | leaf llr) over an all-frozen subtree → [L, B]."""
-        if alpha.shape[1] == 1:
-            return _d0_d1(alpha[:, 0, :])[0]
-        h = alpha.shape[1] // 2
-        first, second = alpha[:, :h, :], alpha[:, h:, :]
-        return rate0_metric(f_minsum(first, second)) + rate0_metric(second + first)
-
     def node(alpha, pm, off: int, size: int):
         sub = flags[off:off + size]
-        if sub.all():  # rate-0: metrics only, no prune
-            return jnp.zeros(alpha.shape, jnp.int8), pm + rate0_metric(alpha), None
+        if sub.all():  # rate-0: metrics only, no prune (level-parallel)
+            return (jnp.zeros(alpha.shape, jnp.int8),
+                    pm + _rate0_metric_levelpar(alpha), None)
         if size == 1:
             return info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
         if node_mode == "fast":
@@ -476,6 +568,10 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
                 return algebra["rate1_fast"](alpha, pm, Lsz, leaf_impl)
             if sub[:-1].all() and not sub[-1]:   # repetition subtree
                 return algebra["rep_fast"](alpha, pm, Lsz, leaf_impl)
+        elif sub[:-1].all() and not sub[-1]:
+            # EXACT repetition node: bit-identical to the leaf-by-leaf
+            # recursion, computed level-parallel (see _rep_exact)
+            return _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)
@@ -755,7 +851,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           control_impl: str = "split",
                           batch_tile: int = 128,
                           node_mode: str = "exact",
-                          perm_impl: str = "rank"):
+                          perm_impl: str = "rank",
+                          mask_dedup: str = "exact"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -802,10 +899,19 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     carries list permutations as int32 rank vectors ``[L, B]`` — L× less
     pending state and L× cheaper composition than ``"onehot"``'s
     ``[L, L, B]`` tensors (see the rank-algebra block above).
+
+    ``mask_dedup`` (bit-identical outputs either way): ``"exact"``
+    (default) keeps per-position live-compose masks in the unroll modes
+    (fewest composes at runtime); ``"union"`` unions masks across chunk
+    positions sharing a (descend, pattern, ascend) triple — the scan
+    modes' behavior — so unroll-kernel builds O(unique triples) kernels
+    instead of O(C): the N=4096 SCL-32 compile-wall fix (63 → ~16 kernel
+    builds at chunk 64).
     """
     frozen_mask = np.asarray(frozen_mask, bool)
     assert frozen_mask.shape == (N,)
     assert perm_impl in ("onehot", "rank"), perm_impl
+    assert mask_dedup in ("exact", "union"), mask_dedup
     alg_x = _RANK_ALGEBRA if perm_impl == "rank" else _BROADCAST_ALGEBRA
     S = min(chunk, N)
     assert S & (S - 1) == 0 and N % S == 0
@@ -827,6 +933,20 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             unique_flags.append(chunk_flags_np[c])
         pattern_ids[c] = unique[key]
     assert node_mode in ("exact", "fast"), node_mode
+    if node_mode == "fast" and list_size > 16:
+        import warnings
+
+        # measured envelope (results/tpu/polar_n4096_scl32_fast.json): the
+        # rate-1 flip stages scale O(L²K²) per node vs exact's O(m·L²), so
+        # fast LOSES above L ≈ 16 (6.96 vs 12.7 Mbps at N=4096 L=32) —
+        # don't let a serving config ship the slow mode silently
+        warnings.warn(
+            f"node_mode='fast' is a small-list serving mode: its rate-1 "
+            f"flip stages scale O(L²) per stage × min(L-1, S) stages, and "
+            f"it measured SLOWER than node_mode='exact' at L = 32 "
+            f"(6.96 vs 12.7 Mbps, N=4096 on v5e). With list_size={list_size}"
+            f" > 16, use node_mode='exact'.",
+            stacklevel=2)
     if node_mode == "fast":
         # kernel fast nodes exist only in the rank algebra
         # (ops/scl_body_pallas._rate1_fast_rank_loop); the one-hot forms
@@ -942,9 +1062,16 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # the per-chunk live-compose masks (pend_liveness) skip the ~60%
         # of pending composes that are never read before their reset
         comp_a, comp_b = pend_liveness(desc_k, asc_j, t, C)
+        # all-frozen chunks prune nothing: their body R is the identity,
+        # so composing it anywhere is an exact no-op — empty the masks
+        # (shrinks the superkernels' pend I/O too)
+        comp_a = tuple(frozenset() if chunk_flags_np[c].all() else comp_a[c]
+                       for c in range(C - 1))
+        comp_b = tuple(frozenset() if chunk_flags_np[c].all() else comp_b[c]
+                       for c in range(C - 1))
         keys = [(int(desc_k[c]), int(pattern_ids[c]), int(asc_j[c]))
                 for c in range(C - 1)]
-        if not control_impl.startswith("unroll"):
+        if not control_impl.startswith("unroll") or mask_dedup == "union":
             # scan modes dispatch via lax.switch, whose compile cost is
             # O(unique branches): union the masks across positions that
             # share a (descend, pattern, ascend) triple — bit-exact

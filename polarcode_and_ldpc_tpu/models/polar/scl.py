@@ -64,7 +64,7 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      chunk: int = 128, body_impl: str = "xla",
                      leaf_impl: str = "onehot", control_impl: str = "split",
                      batch_tile: int = 128, node_mode: str = "exact",
-                     perm_impl: str = "rank"):
+                     perm_impl: str = "rank", mask_dedup: str = "exact"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -106,7 +106,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                                      control_impl=control_impl,
                                      batch_tile=batch_tile,
                                      node_mode=node_mode,
-                                     perm_impl=perm_impl)
+                                     perm_impl=perm_impl,
+                                     mask_dedup=mask_dedup)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size

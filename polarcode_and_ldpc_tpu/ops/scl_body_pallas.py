@@ -161,8 +161,9 @@ def _compose_rank_loop(a, b):
 
 
 def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
-    """Mosaic-friendly ``scanscl._info_leaf_rank``: all-pairs stable
-    ranking + per-slot where-sum extraction, rank-vector output.
+    """Mosaic-friendly ``scanscl._info_leaf_rank``: split-half all-pairs
+    stable ranking + scatter extraction, rank-vector output (see
+    ``_prune_2l_rank_halves_loop``).
 
     NOTE (v5e, 2026-08-19): an iterative max-extraction variant
     (``_topk_desc_loop``) was tried here and REVERTED — ~40% fewer
@@ -176,35 +177,57 @@ def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
     from ..models.polar.scanscl import _d0_d1
 
     d0, d1 = _d0_d1(a)
-    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2L, B]
-    pm2, second, src = _prune_2l_rank_loop(cand, Lsz)
+    pm2, second, src = _prune_2l_rank_halves_loop(pm + d0, pm + d1, Lsz)
     return second.astype(jnp.int8)[:, None, :], pm2, src
 
 
+def _prune_2l_rank_halves_loop(c0, c1, Lsz):
+    """Stable top-L of the ordered candidate set ``[c0; c1]`` (candidate
+    index = half·L + row, the reference's bit-0-paths-then-bit-1-paths
+    order) → ``(pm [L, B], second [L, B] int32 ∈ {0,1}, r [L, B] int32)``.
+
+    Round-4 form: the ``[2L, B]`` concat field of the previous all-pairs
+    ranking padded HALF of every vector tile at L = 8 (2L = 16 rows → two
+    8-sublane tiles); ranking the halves against each other keeps every
+    op on full one-tile ``[L, B]`` fields — same comparison count, ~2×
+    fewer tile-slots.  Tie rules are identical by construction:
+
+    * (0, j) before (0, i) ⇔ ``>`` or (``==`` and j < i)  → masked ≥/>;
+    * (0, j) before (1, i) ⇔ ``≥``      (index j < L + i always);
+    * (1, j) before (0, i) ⇔ ``>``      (index L + j > i always);
+    * (1, j) before (1, i) ⇔ same-half rule.
+
+    Extraction is scatter-style: each candidate writes its metric/index
+    into its rank slot (one masked select per candidate instead of a
+    where+cross-sublane-reduce per slot)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 0)
+    rank0 = jnp.zeros(c0.shape, jnp.int32)
+    rank1 = jnp.zeros(c0.shape, jnp.int32)
+    for j in range(Lsz):
+        c0j = c0[j][None, :]
+        c1j = c1[j][None, :]
+        lt = j < iota  # static mask: ties go to the lower candidate index
+        rank0 += (jnp.where(lt, c0j >= c0, c0j > c0).astype(jnp.int32)
+                  + (c1j > c0).astype(jnp.int32))
+        rank1 += ((c0j >= c1).astype(jnp.int32)
+                  + jnp.where(lt, c1j >= c1, c1j > c1).astype(jnp.int32))
+    pm = jnp.zeros_like(c0)
+    comb = jnp.zeros(c0.shape, jnp.int32)
+    for j in range(Lsz):
+        hit0 = rank0[j][None, :] == iota
+        pm = jnp.where(hit0, c0[j][None, :], pm)
+        comb = jnp.where(hit0, j, comb)
+        hit1 = rank1[j][None, :] == iota
+        pm = jnp.where(hit1, c1[j][None, :], pm)
+        comb = jnp.where(hit1, j + Lsz, comb)
+    second = (comb >= Lsz).astype(jnp.int32)
+    return pm, second, comb - second * Lsz
+
+
 def _prune_2l_rank_loop(cand, Lsz):
-    """Mosaic ``scanscl._prune_2l`` (rank form): stable top-L over ordered
-    candidates ``[2L, B]`` → ``(pm [L, B], second [L, B] int32 ∈ {0,1},
-    r [L, B] int32)``.  All-pairs ranking (see the perf note on
-    ``_info_leaf_rank_loop`` — the iterative form pipelines worse); the
-    slot metric and the selected CANDIDATE index are extracted, the
-    second-half indicator and the source path derive from the index on
-    [L, B] — one fewer [2L, B] where+sum pass per slot."""
-    two_l = cand.shape[0]
-    i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-    rank = jnp.zeros(cand.shape, jnp.int32)
-    for j in range(two_l):
-        cj = cand[j][None, :]
-        before = (cj > cand) | ((cj == cand) & (j < i_iota))
-        rank = rank + before.astype(jnp.int32)
-    pm_rows, idx_rows = [], []
-    for l in range(Lsz):
-        sel = rank == l
-        pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
-        idx_rows.append(jnp.sum(jnp.where(sel, i_iota, 0), axis=0))
-    pm2 = jnp.stack(pm_rows, axis=0)
-    idx = jnp.stack(idx_rows, axis=0)
-    second = (idx >= Lsz).astype(jnp.int32)
-    return pm2, second, idx - second * Lsz
+    """Mosaic ``scanscl._prune_2l`` (rank form) on ordered candidates
+    ``[2L, B]`` — thin wrapper over the split-half form."""
+    return _prune_2l_rank_halves_loop(cand[:Lsz], cand[Lsz:], Lsz)
 
 
 def _rate1_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
@@ -242,8 +265,8 @@ def _rate1_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     fdec: list = []                              # grows to K × [L, 1, B]
     R_tot = None
     for s in range(K):
-        cand = jnp.concatenate([pm, pm - magsK[s][:, 0, :]], axis=0)
-        pm, flip, r = _prune_2l_rank_loop(cand, Lsz)
+        pm, flip, r = _prune_2l_rank_halves_loop(
+            pm, pm - magsK[s][:, 0, :], Lsz)
         # permute every accumulated per-path plane into the new list order
         magsK = magsK[: s + 1] + [_apply_perm_rank_loop(r, x)
                                   for x in magsK[s + 1:]]
@@ -274,9 +297,8 @@ def _rep_fast_rank_loop(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     from ..models.polar.scanscl import _d0_d1, _tree_sum
 
     d0, d1 = _d0_d1(alpha)
-    cand = jnp.concatenate([pm + _tree_sum(d0, axis=1),
-                            pm + _tree_sum(d1, axis=1)], axis=0)
-    pm, bit, r = _prune_2l_rank_loop(cand, Lsz)
+    pm, bit, r = _prune_2l_rank_halves_loop(
+        pm + _tree_sum(d0, axis=1), pm + _tree_sum(d1, axis=1), Lsz)
     plane = bit.astype(jnp.int8)[:, None, :]
     beta = jnp.concatenate([plane] * alpha.shape[1], axis=1)
     return beta, pm, r
