@@ -102,3 +102,62 @@ def ms_decode_np(H, llr, max_iter: int = 50, normalization: float = 1.0,
 def ldpc_encode_np(G_kn: np.ndarray, message: np.ndarray) -> np.ndarray:
     """Systematic encode c = m·G mod 2 (reference ``encoder.py:88-90``)."""
     return (np.asarray(message) @ np.asarray(G_kn)) % 2
+
+
+def layered_ms_decode_np(H, llr, max_iter: int = 50,
+                         normalization: float = 1.0, offset: float = 0.0,
+                         early_stop: bool = True, num_layers: int = 4):
+    """Row-layered (block-serial) min-sum decode of one frame → (bits [n],
+    iterations).
+
+    Semantics DEFINED here (gap-fill feature, no reference counterpart —
+    the reference only floods, ``src/ldpc/decoder.py:150-198``); the JAX
+    implementations (``models/ldpc/layered.py``, the Pallas kernel and the
+    QC roll path) mirror this float program exactly:
+
+    * checks are partitioned into ``num_layers`` contiguous groups
+      (``np.array_split`` bounds); groups update sequentially within one
+      iteration, each from the LATEST variable totals;
+    * per layer, all its checks update in parallel from the same totals
+      snapshot (block-layered): ``qtemp = Q[v] − R_old`` per edge, min-sum
+      leave-one-out (same α/β/sign(0)=0/degree-1→0 rules as flooding);
+    * totals update by delta accumulation in VAR-SLOT order: for sp = 0..
+      dv_max−1, ``Q += Δ_vm[:, sp]`` (each (v, sp) receives from exactly
+      one edge, so the order is fully deterministic and the device
+      one-hot-matmul form reproduces it bit-for-bit);
+    * hard decision / syndrome early stop / first-converged latching per
+      iteration exactly as flooding.
+    """
+    H = np.asarray(H)
+    llr = np.asarray(llr, np.float64)
+    m, n = H.shape
+    var_nb, check_nb = _tanner(H)
+    dv_max = max(1, max(len(x) for x in var_nb))
+    slot_in_var = {(int(c), v): sp for v in range(n)
+                   for sp, c in enumerate(var_nb[v])}
+    layers = [lay for lay in np.array_split(np.arange(m), num_layers)
+              if len(lay)]
+    R = [np.zeros(len(check_nb[c])) for c in range(m)]
+    Q = llr.copy()
+    decoded = (llr <= 0).astype(np.int64)
+    iters = max_iter
+    for it in range(max_iter):
+        for layer in layers:
+            new_r = {}
+            for c in layer:
+                qtemp = np.array([Q[v] - R[c][j]
+                                  for j, v in enumerate(check_nb[c])])
+                new_r[c] = _check_update_ms(qtemp, normalization, offset)
+            delta_sp = np.zeros((dv_max, n))
+            for c in layer:
+                for j, v in enumerate(check_nb[c]):
+                    delta_sp[slot_in_var[(int(c), int(v))], v] = (
+                        new_r[c][j] - R[c][j])
+                R[c] = new_r[c]
+            for sp in range(dv_max):
+                Q = Q + delta_sp[sp]
+        decoded = (Q <= 0).astype(np.int64)
+        if early_stop and np.all((H @ decoded) % 2 == 0):
+            iters = it + 1
+            break
+    return decoded, iters

@@ -57,3 +57,22 @@ def test_adaptive_all_pass_no_fallback(rng):
     out, stats = ada.decode(chan.transmit(enc.encode(msgs)), return_stats=True)
     assert stats["scl_fallbacks"] == 0
     np.testing.assert_array_equal(out[:, : enc.K_data], msgs)
+
+
+def test_adaptive_budget_overflow_host_residue(rng):
+    # more CRC failures than the in-graph fallback slice: the residue must
+    # re-decode through the host-looped path with identical semantics
+    frozen, _ = fec.construct_polar_code(128, 64, "bhattacharyya", 2.0)
+    enc = fec.PolarEncoder(128, 64, frozen_bits=frozen, use_crc=True)
+    tiny = fec.AdaptiveCASCLDecoder(128, 64, list_size=4,
+                                    frozen_bits=frozen,
+                                    fallback_batch=8, fallback_budget=4)
+    ref = fec.AdaptiveCASCLDecoder(128, 64, list_size=4, frozen_bits=frozen)
+    chan = fec.AWGNChannel(snr_db=-2.0, seed=3)
+    msgs = rng.integers(0, 2, (120, enc.K_data))
+    llr = chan.transmit(enc.encode(msgs))
+    out_t, st_t = tiny.decode(llr, return_stats=True)
+    out_r, st_r = ref.decode(llr, return_stats=True)
+    assert st_t["scl_fallbacks"] == st_r["scl_fallbacks"] > 4
+    assert st_t["budget_overflow"] > 0 and st_r["budget_overflow"] == 0
+    np.testing.assert_array_equal(out_t, out_r)

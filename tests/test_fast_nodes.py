@@ -164,3 +164,21 @@ def test_fast_nodes_kernel_bit_identical(rng):
     u_o, m_o = d_o(llr)
     np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_o))
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_o))
+
+
+def test_fast_mode_warns_above_l16():
+    # measured envelope: fast nodes LOSE above L ~ 16 (6.96 vs 12.7 Mbps at
+    # N=4096 SCL-32 on v5e, results/tpu/polar_n4096_scl32_fast.json) — the
+    # factory must warn so a serving config can't ship the slow mode silently
+    import warnings
+
+    mask = _mask(256, 128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_scl_decoder_scan(256, mask, 32, chunk=64, node_mode="fast")
+    assert any("small-list serving mode" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_scl_decoder_scan(256, mask, 16, chunk=64, node_mode="fast")
+        make_scl_decoder_scan(256, mask, 32, chunk=64, node_mode="exact")
+    assert not any("small-list serving mode" in str(x.message) for x in w)
