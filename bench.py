@@ -186,7 +186,8 @@ def bench_polar_scl8(batch: int = 8192, body_impl: str = "xla",
 
 
 def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16,
-                  decoder: str = "bp", impl: str = "auto") -> dict:
+                  decoder: str = "bp", impl: str = "auto",
+                  snr_db: float = 3.0, num_layers: int = 4) -> dict:
     # fused whole-decode BP kernel with per-tile early exit (impl="auto"
     # resolves to Pallas on TPU: 731 vs 231 Mbps measured), chained
     # on-chip with an on-device error count (same methodology as the
@@ -204,10 +205,14 @@ def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16,
         ldpc_complexity,
     )
 
-    n, k, snr_db = 504, 252, 3.0
+    n, k = 504, 252
     enc = fec.LDPCEncoder(n, k, dv=3, dc=6, seed=42)
     if decoder == "bp":
         dec = fec.BPDecoder(enc.H, max_iter=20, early_stop=True, impl=impl)
+    elif decoder == "layered-nms":
+        dec = fec.LayeredMSDecoder(enc.H, max_iter=20, normalization=0.75,
+                                   early_stop=True, impl=impl,
+                                   num_layers=num_layers)
     else:
         from polarcode_and_ldpc_tpu.models.ldpc.minsum import (
             MSDecoder, NMSDecoder, OMSDecoder)

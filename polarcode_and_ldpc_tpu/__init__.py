@@ -34,6 +34,7 @@ from .models.polar import (
 from .models.ldpc import (
     LDPCEncoder,
     BPDecoder,
+    LayeredMSDecoder,
     MSDecoder,
     NMSDecoder,
     OMSDecoder,
@@ -70,6 +71,7 @@ __all__ = [
     "polar_transform",
     "LDPCEncoder",
     "BPDecoder",
+    "LayeredMSDecoder",
     "MSDecoder",
     "NMSDecoder",
     "OMSDecoder",

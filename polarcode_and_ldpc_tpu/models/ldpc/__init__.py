@@ -18,6 +18,7 @@ from .encoder import LDPCEncoder
 from .bp import BPDecoder
 from .qc import QCBPDecoder, make_qc_bp_decoder
 from .minsum import MSDecoder, NMSDecoder, OMSDecoder
+from .layered import LayeredMSDecoder, make_layered_ms_decoder
 from .utils import (
     create_tanner_graph,
     check_syndrome,
@@ -44,6 +45,8 @@ __all__ = [
     "QCBPDecoder",
     "make_qc_bp_decoder",
     "MSDecoder",
+    "LayeredMSDecoder",
+    "make_layered_ms_decoder",
     "NMSDecoder",
     "OMSDecoder",
     "create_tanner_graph",

@@ -127,11 +127,14 @@ class BPDecoder:
     when available, else xla).
     """
 
-    # Pallas check rule; the min-sum subclass (minsum.MSDecoder) overrides
-    # these — the resolve/run/decode machinery below is shared.
+    # Pallas check rule / schedule; the min-sum subclasses (minsum.MSDecoder,
+    # layered.LayeredMSDecoder) override these — the resolve/run/decode
+    # machinery below is shared.
     _check_rule = "bp"
+    _schedule = "flooding"
     normalization = 1.0
     offset = 0.0
+    num_layers = 4
 
     def __init__(self, H: np.ndarray, max_iter: int = 50, early_stop: bool = True,
                  dtype=jnp.float32, impl: str = "xla", pallas_batch_tile: int = 128):
@@ -151,7 +154,8 @@ class BPDecoder:
             self.graph, self._decode, max_iter, early_stop, dtype,
             impl=impl, batch_tile=pallas_batch_tile, jit_pallas=True,
             check_rule=self._check_rule, normalization=self.normalization,
-            offset=self.offset)
+            offset=self.offset, schedule=self._schedule,
+            num_layers=self.num_layers)
 
     def _make_xla_decoder(self):
         return make_bp_decoder(self.graph, self.max_iter, self.early_stop,

@@ -71,7 +71,7 @@ def _base_edges(base: np.ndarray):
 def make_qc_bp_decoder(base: np.ndarray, z: int, max_iter: int = 50,
                        early_stop: bool = True, dtype=jnp.float32,
                        variant: str = "bp", normalization: float = 1.0,
-                       offset: float = 0.0):
+                       offset: float = 0.0, schedule: str = "flooding"):
     """Build a jittable roll-based BP/min-sum decoder for a QC code.
 
     ``base`` is the ``[mb, nb]`` shift matrix (−1 = no edge) from
@@ -79,10 +79,21 @@ def make_qc_bp_decoder(base: np.ndarray, z: int, max_iter: int = 50,
     ``decode(llr [batch, n]) → (bits [batch, n] int8, iters [batch] int32)``
     with the exact early-stop latching semantics of ``bp.make_bp_decoder``
     (per-frame first-converged outputs, reference ``decoder.py:124-202``).
+
+    ``schedule="layered"`` (min-sum only): the base rows ARE the layers —
+    each block row touches every variable block at most once, so the
+    within-layer parallel update is conflict-free by construction.
+    Bit-identical (bits + iteration counts) to the generic layered decoder
+    (``layered.py``) on the expanded H with ``num_layers = mb``; flooding
+    stays the reference-exact default.
     """
     base = np.asarray(base)
     mb, nb = base.shape
     rows, cols = _base_edges(base)
+    assert schedule in ("flooding", "layered"), schedule
+    if schedule == "layered":
+        assert variant in ("ms", "nms", "oms", "min-sum"), \
+            "layered schedule is min-sum only"
     dcs = {len(r) for r in rows}
     dvs = {len(c) for c in cols}
     assert len(dcs) == 1 and len(dvs) == 1, (
@@ -115,6 +126,80 @@ def make_qc_bp_decoder(base: np.ndarray, z: int, max_iter: int = 50,
                 [jnp.roll(blocks[:, bj], -sh, axis=-1)
                  for (bj, sh, _sv) in rows[bi]], axis=1))
         return jnp.stack(per_row, axis=1)  # [B, mb, dc, z]
+
+    def _syndrome_latch(s, bits_blocks, batch, extra):
+        """Shared per-iteration syndrome check + first-converged latching
+        (reference decoder.py:191-202)."""
+        bits = bits_blocks.reshape(batch, n)
+        syn = jnp.zeros((batch, mb, z), jnp.int32)
+        for bi in range(mb):
+            for (bj, sh, _sv) in rows[bi]:
+                syn = syn.at[:, bi].add(
+                    jnp.roll(bits_blocks[:, bj], -sh, axis=-1)
+                    .astype(jnp.int32))
+        ok = jnp.all((syn % 2) == 0, axis=(1, 2))
+        newly = ok & ~s["done"]
+        return dict(
+            it=s["it"] + 1,
+            bits=bits,
+            done=s["done"] | ok,
+            latched=jnp.where(newly[:, None], bits, s["latched"]),
+            iters=jnp.where(newly, s["it"] + 1, s["iters"]),
+            **extra,
+        )
+
+    def decode_layered(llr):
+        llr = jnp.asarray(llr, dtype)
+        assert llr.ndim == 2 and llr.shape[1] == n, f"expected [batch, {n}]"
+        batch = llr.shape[0]
+        bits0 = (llr <= 0).astype(jnp.int8)
+        row_mask = jnp.ones((1, dc), bool)
+        state = dict(
+            it=jnp.zeros((), jnp.int32),
+            Q=llr.reshape(batch, nb, z),
+            R=jnp.zeros((batch, mb, dc, z), dtype),
+            bits=bits0,
+            done=jnp.zeros((batch,), bool),
+            latched=bits0,
+            iters=jnp.full((batch,), max_iter, jnp.int32),
+        )
+
+        def one_iteration(s):
+            Q, R = s["Q"], s["R"]
+            for bi in range(mb):  # base rows ARE the layers (conflict-free)
+                q_cm = jnp.stack(
+                    [jnp.roll(Q[:, bj], -sh, axis=-1)
+                     for (bj, sh, _sv) in rows[bi]], axis=1)  # [B, dc, z]
+                qt = q_cm - R[:, bi]
+                r_new = ms_check_update(qt.swapaxes(-1, -2), row_mask,
+                                        normalization, offset,
+                                        dtype).swapaxes(-1, -2)
+                delta = r_new - R[:, bi]
+                R = R.at[:, bi].set(r_new)
+                for si, (bj, sh, _sv) in enumerate(rows[bi]):
+                    Q = Q.at[:, bj].add(jnp.roll(delta[:, si], sh, axis=-1))
+            return _syndrome_latch(s, (Q <= 0).astype(jnp.int8), batch,
+                                   dict(Q=Q, R=R))
+
+        return _run_loop(state, one_iteration, batch)
+
+    def _run_loop(state, one_iteration, batch):
+        if early_stop:
+            def cond(s):
+                return (s["it"] < max_iter) & ~jnp.all(s["done"])
+            state = lax.while_loop(cond, one_iteration, state)
+            bits = jnp.where(state["done"][:, None], state["latched"],
+                             state["bits"])
+            iters = state["iters"]
+        else:
+            state = lax.fori_loop(0, max_iter, lambda _, s: one_iteration(s),
+                                  state)
+            bits = state["bits"]
+            iters = jnp.full((batch,), max_iter, jnp.int32)
+        return bits, iters
+
+    if schedule == "layered":
+        return decode_layered
 
     def decode(llr):
         llr = jnp.asarray(llr, dtype)
@@ -192,7 +277,7 @@ class QCBPDecoder:
     def __init__(self, base: np.ndarray, z: int, max_iter: int = 50,
                  early_stop: bool = True, dtype=jnp.float32,
                  variant: str = "bp", normalization: float = 1.0,
-                 offset: float = 0.0):
+                 offset: float = 0.0, schedule: str = "flooding"):
         from .matrix import qc_expand
 
         self.base = np.asarray(base)
@@ -202,12 +287,13 @@ class QCBPDecoder:
         self.m = self.mb * z
         self.max_iter = max_iter
         self.variant = variant
+        self.schedule = schedule
         self.dtype = dtype
         self._H: Optional[np.ndarray] = None
         self._expand = lambda: qc_expand(self.base, self.z)
         self._decode = jax.jit(make_qc_bp_decoder(
             base, z, max_iter, early_stop, dtype, variant, normalization,
-            offset))
+            offset, schedule))
 
     @property
     def H(self) -> np.ndarray:

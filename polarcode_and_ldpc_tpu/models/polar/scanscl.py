@@ -247,6 +247,14 @@ def _leaf_llrs_zero_dec(alpha):
     return z
 
 
+#: max subtree width decoded by one flat level-parallel pass; wider
+#: rate-0/REP subtrees split through the ordinary f/g recursion first
+#: (identical DAG — the split only reorders independent ops).  Caps the
+#: pass's in-kernel temporaries: an uncapped S=128 pass pushed a marginal
+#: superkernel variant past the 16 MB scoped-VMEM stack (measured r4).
+_LEVELPAR_MAX = 64
+
+
 def _rate0_metric_levelpar(alpha):
     """Σ log P(0 | leaf llr) over an all-frozen subtree → ``[L, B]``.
 
@@ -257,6 +265,11 @@ def _rate0_metric_levelpar(alpha):
     splits unfold to (addition is commutative bitwise; only the
     associativity order matters, and it is preserved)."""
     L, M, B = alpha.shape
+    if M > _LEVELPAR_MAX:
+        h = M // 2
+        first, second = alpha[:, :h, :], alpha[:, h:, :]
+        return (_rate0_metric_levelpar(f_minsum(first, second))
+                + _rate0_metric_levelpar(second + first))
     s = _d0_d1(_leaf_llrs_zero_dec(alpha))[0]       # [L·M, B]
     rows = L * M
     while rows > L:
@@ -568,9 +581,11 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
                 return algebra["rate1_fast"](alpha, pm, Lsz, leaf_impl)
             if sub[:-1].all() and not sub[-1]:   # repetition subtree
                 return algebra["rep_fast"](alpha, pm, Lsz, leaf_impl)
-        elif sub[:-1].all() and not sub[-1]:
+        elif sub[:-1].all() and not sub[-1] and size <= _LEVELPAR_MAX:
             # EXACT repetition node: bit-identical to the leaf-by-leaf
-            # recursion, computed level-parallel (see _rep_exact)
+            # recursion, computed level-parallel (see _rep_exact).  Wider
+            # REPs split through the generic recursion first (left rate-0
+            # + right REP — the identical DAG), bounding kernel VMEM
             return _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
@@ -708,8 +723,11 @@ def super_touch_sets(sel: int, j: int, t: int,
     pend_a_in = sorted(set(pend_a_read_desc) | (ca - a_resets))
     pend_a_out = sorted(ca)
     pend_a_eye = sorted(a_resets - ca)  # identity written by the wrapper
-    pend_b_in = sorted({beta_read_desc[0]} | cb
-                       if beta_read_desc else cb)
+    # every beta read (descend g AND ascend combines) also reads its
+    # pend_b — NOT implied by the compose mask: an all-frozen chunk
+    # composes nothing (identity R) yet still applies pendings from
+    # earlier chunks on its ascend path
+    pend_b_in = sorted(set(beta_read) | cb)
     pend_b_out = sorted(cb - {b_reset})
     pend_b_eye = [b_reset]
     return dict(needs_llr=needs_llr, alpha_read=alpha_read,

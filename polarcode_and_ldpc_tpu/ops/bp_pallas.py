@@ -65,7 +65,8 @@ def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
                     early_stop: bool, dtype, impl: str = "auto",
                     batch_tile: int = 128, jit_pallas: bool = False,
                     check_rule: str = "bp", normalization: float = 1.0,
-                    offset: float = 0.0):
+                    offset: float = 0.0, schedule: str = "flooding",
+                    num_layers: int = 4):
     """Single source of truth for the BP fast-path policy (used by
     ``BPDecoder`` and ``sim.pipelines.make_ldpc_pipeline``).
 
@@ -91,7 +92,8 @@ def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
     pallas_fn = make_bp_decoder_pallas(graph, max_iter, early_stop,
                                        batch_tile, check_rule=check_rule,
                                        normalization=normalization,
-                                       offset=offset)
+                                       offset=offset, schedule=schedule,
+                                       num_layers=num_layers)
     if jit_pallas:
         pallas_fn = jax.jit(pallas_fn)
 
@@ -131,6 +133,8 @@ def make_bp_decoder_pallas(
     check_rule: str = "bp",
     normalization: float = 1.0,
     offset: float = 0.0,
+    schedule: str = "flooding",
+    num_layers: int = 4,
 ):
     """Build the fused decoder: ``decode(llr [B, n]) → (bits int8 [B, n],
     iters int32 [B])``.  B must be a multiple of ``batch_tile`` (the public
@@ -142,12 +146,27 @@ def make_bp_decoder_pallas(
     NMS ``normalization`` α and OMS ``offset`` β knobs — bit-identical to
     ``models/ldpc/minsum.ms_check_update`` in float32 (sign products and
     mins are association-free, so the in-kernel sequential pre/suffix
-    sweeps reproduce the XLA ``associative_scan`` exactly)."""
+    sweeps reproduce the XLA ``associative_scan`` exactly).
+
+    ``schedule="layered"`` (min-sum only) runs the row-layered serving
+    schedule of ``models/ldpc/layered.py``: per contiguous check layer,
+    v2c recomputes from the live totals (``Q[v] − R_old``), the min-sum
+    update refreshes that layer's R planes, and the totals absorb the
+    deltas through per-slot one-hot matmul moves — exact single-edge
+    selections, so the kernel is bit-identical to the XLA layered decoder
+    and its float64 NumPy twin semantics."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if check_rule not in ("bp", "ms"):
         raise ValueError(f"unknown check_rule {check_rule!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "layered":
+        assert check_rule == "ms", "layered schedule is min-sum only"
+        from ..models.ldpc.layered import layer_bounds
+
+        bounds = layer_bounds(graph.m, num_layers)
     g = graph
     dv, dc, n, m = g.dv_max, g.dc_max, g.n, g.m
     Bt = batch_tile
@@ -168,19 +187,92 @@ def make_bp_decoder_pallas(
         llr = llr_ref[:]                       # [Bt, n]
         cmask = cmask_ref[:]                   # [dc, m]
         vmask = vmask_ref[:]                   # [dv, n]
-        for sp in range(dv):
-            V[sp] = llr                        # init v2c = channel LLR
+        if schedule == "layered":
+            V[0] = llr                         # running totals Q
+            for s in range(dc):
+                C[s] = jnp.zeros((Bt, m), jnp.float32)  # R (c2v) storage
+        else:
+            for sp in range(dv):
+                V[sp] = llr                    # init v2c = channel LLR
         # initial hard decision (iteration-0 bits, decoder.py:139-148)
         latched[:] = (llr <= 0).astype(jnp.float32)
         done[:] = jnp.zeros((Bt, 1), jnp.float32)
         iters_ref[:] = jnp.full((Bt, 1), max_iter, jnp.int32)
         state[0, 0] = 0  # all_done flag
 
+        def _layered_iteration():
+            # row-layered min-sum (models/ldpc/layered.py semantics):
+            # per layer, v2c from the LIVE totals, min-sum refresh of the
+            # layer's R planes, totals absorb the deltas via per-slot
+            # one-hot matmul moves (exact single-edge selections → bit-
+            # identical to the XLA decoder and the float64 twin)
+            inf = jnp.float32(jnp.inf)
+            for (c0, c1) in bounds:
+                Q = V[0]
+                sgs, mgs, r_olds = [], [], []
+                for s in range(dc):
+                    acc = jnp.zeros((Bt, c1 - c0), jnp.float32)
+                    for sp in range(dv):
+                        acc += jax.lax.dot_general(
+                            Q, P_ref[sp, s, :, c0:c1],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    r_old = C[s, :, c0:c1]
+                    qt = acc - r_old
+                    on = cmask[s][None, c0:c1] > 0
+                    r_olds.append(r_old)
+                    sgs.append(jnp.where(on, jnp.sign(qt), 1.0))
+                    mgs.append(jnp.where(on, jnp.abs(qt), inf))
+                pre_s = [None] * dc
+                suf_s = [None] * dc
+                pre_m = [None] * dc
+                suf_m = [None] * dc
+                run = jnp.ones((Bt, c1 - c0), jnp.float32)
+                for s in range(dc):
+                    pre_s[s] = run
+                    run = run * sgs[s]
+                run = jnp.ones((Bt, c1 - c0), jnp.float32)
+                for s in range(dc - 1, -1, -1):
+                    suf_s[s] = run
+                    run = run * sgs[s]
+                run = jnp.full((Bt, c1 - c0), inf, jnp.float32)
+                for s in range(dc):
+                    pre_m[s] = run
+                    run = jnp.minimum(run, mgs[s])
+                run = jnp.full((Bt, c1 - c0), inf, jnp.float32)
+                for s in range(dc - 1, -1, -1):
+                    suf_m[s] = run
+                    run = jnp.minimum(run, mgs[s])
+                deltas = []
+                for s in range(dc):
+                    mg_min = jnp.minimum(pre_m[s], suf_m[s])
+                    if offset:
+                        mg_min = jnp.maximum(
+                            mg_min - jnp.float32(offset), 0.0)
+                    out = (pre_s[s] * suf_s[s]) * mg_min
+                    out = out * jnp.float32(normalization)
+                    on = cmask[s][None, c0:c1] > 0
+                    r_new = jnp.where(
+                        on & jnp.isfinite(out), out, 0.0)
+                    deltas.append(r_new - r_olds[s])
+                    C[s, :, c0:c1] = r_new
+                for sp in range(dv):
+                    accq = jnp.zeros((Bt, n), jnp.float32)
+                    for s in range(dc):
+                        accq += jax.lax.dot_general(
+                            deltas[s], P_ref[sp, s, :, c0:c1],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    V[0] = V[0] + accq
+            return V[0]
+
         def iteration(it, _):
             @pl.when(state[0, 0] == 0)
             def _():
                 # --- check-node update ---------------------------------------
-                if check_rule == "bp":
+                if schedule == "layered":
+                    pass
+                elif check_rule == "bp":
                     # sum-product (decoder.py:62-96)
                     ts = []
                     for s in range(dc):
@@ -256,22 +348,26 @@ def make_bp_decoder_pallas(
                         out = (pre_s[s] * suf_s[s]) * mg
                         out = out * jnp.float32(normalization)
                         C[s] = jnp.where(jnp.isfinite(out), out, 0.0)
-                # --- variable-node update (decoder.py:98-122) ---------------
-                c2v = []
-                for sp in range(dv):
-                    acc = jnp.zeros((Bt, n), jnp.float32)
-                    for s in range(dc):
-                        acc += jax.lax.dot_general(
-                            C[s], P_ref[sp, s],
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    c2v.append(jnp.where(vmask[sp][None, :] > 0, acc, 0.0))
-                totals = llr
-                for sp in range(dv):
-                    totals = totals + c2v[sp]
-                for sp in range(dv):
-                    V[sp] = totals - c2v[sp]
-                bits = (totals <= 0).astype(jnp.float32)
+                if schedule == "layered":
+                    bits = (_layered_iteration() <= 0).astype(jnp.float32)
+                else:
+                    # --- variable-node update (decoder.py:98-122) -----------
+                    c2v = []
+                    for sp in range(dv):
+                        acc = jnp.zeros((Bt, n), jnp.float32)
+                        for s in range(dc):
+                            acc += jax.lax.dot_general(
+                                C[s], P_ref[sp, s],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        c2v.append(
+                            jnp.where(vmask[sp][None, :] > 0, acc, 0.0))
+                    totals = llr
+                    for sp in range(dv):
+                        totals = totals + c2v[sp]
+                    for sp in range(dv):
+                        V[sp] = totals - c2v[sp]
+                    bits = (totals <= 0).astype(jnp.float32)
                 # --- syndrome + per-frame latching (decoder.py:191-202) -----
                 if early_stop:
                     sums = jax.lax.dot_general(

@@ -206,11 +206,13 @@ def _prune_2l_rank_halves_loop(c0, c1, Lsz):
     for j in range(Lsz):
         c0j = c0[j][None, :]
         c1j = c1[j][None, :]
+        # pure boolean algebra — a select with BOOLEAN payloads lowers
+        # through an i8→i1 trunci Mosaic rejects (jellyfish abort, round 4)
         lt = j < iota  # static mask: ties go to the lower candidate index
-        rank0 += (jnp.where(lt, c0j >= c0, c0j > c0).astype(jnp.int32)
+        rank0 += (((c0j > c0) | (lt & (c0j == c0))).astype(jnp.int32)
                   + (c1j > c0).astype(jnp.int32))
         rank1 += ((c0j >= c1).astype(jnp.int32)
-                  + jnp.where(lt, c1j >= c1, c1j > c1).astype(jnp.int32))
+                  + ((c1j > c1) | (lt & (c1j == c1))).astype(jnp.int32))
     pm = jnp.zeros_like(c0)
     comb = jnp.zeros(c0.shape, jnp.int32)
     for j in range(Lsz):

@@ -265,6 +265,8 @@ def make_ldpc_pipeline(
     qc_base: Optional[np.ndarray] = None,
     z: Optional[int] = None,
     bp_impl: str = "xla",
+    schedule: str = "flooding",
+    num_layers: int = 4,
 ):
     """End-to-end LDPC Monte-Carlo step (reference ``simulate_ldpc``,
     ``ber_simulation.py:208-293``).
@@ -279,6 +281,11 @@ def make_ldpc_pipeline(
             the roll-based QC decoder (``models/ldpc/qc.py``) — the
             gather-free path that scales to n=8192.  Bit-identical to the
             generic decoder on the same H.
+        schedule: ``"flooding"`` (reference-exact default) or ``"layered"``
+            (row-layered serving schedule, min-sum only — semantics by
+            ``parity/ldpc_np.layered_ms_decode_np``); ``num_layers`` picks
+            the check grouping (ignored on the QC path — base rows are the
+            layers there).
     """
     H = np.asarray(H)
     G = jnp.asarray((np.asarray(G_kn) % 2).astype(np.int8))
@@ -293,8 +300,10 @@ def make_ldpc_pipeline(
         variant = {"bp": "bp", "ms": "ms", "min-sum": "ms", "nms": "nms",
                    "oms": "oms"}[decoder]
         dec = make_qc_bp_decoder(qc_base, z, max_iter, early_stop, dtype,
-                                 variant, normalization, offset)
+                                 variant, normalization, offset,
+                                 schedule=schedule)
     elif decoder == "bp":
+        assert schedule == "flooding", "layered schedule is min-sum only"
         graph = TannerGraph.from_H(H)
         # fused whole-decode BP kernel with per-tile early exit when
         # available — measured 731 vs 231 Mbps (n=504, batch 4096, 3 dB,
@@ -311,12 +320,19 @@ def make_ldpc_pipeline(
         # check rule (measured 414 vs 175 Mbps, NMS n=504 batch 4096, v5e)
         from ..ops.bp_pallas import resolve_bp_impl
 
+        if schedule == "layered":
+            from ..models.ldpc.layered import make_layered_ms_decoder
+
+            xla = make_layered_ms_decoder(graph, max_iter, normalization,
+                                          offset, early_stop, dtype,
+                                          num_layers)
+        else:
+            xla = make_ms_decoder(graph, max_iter, normalization, offset,
+                                  early_stop, dtype)
         dec, _, _ = resolve_bp_impl(
-            graph,
-            make_ms_decoder(graph, max_iter, normalization, offset,
-                            early_stop, dtype),
-            max_iter, early_stop, dtype, impl=bp_impl,
-            check_rule="ms", normalization=normalization, offset=offset)
+            graph, xla, max_iter, early_stop, dtype, impl=bp_impl,
+            check_rule="ms", normalization=normalization, offset=offset,
+            schedule=schedule, num_layers=num_layers)
     else:
         raise ValueError(f"unknown LDPC decoder: {decoder!r}")
 

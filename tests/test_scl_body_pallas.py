@@ -256,3 +256,43 @@ def test_rank_pendings_shrink_superkernel_vmem():
             for c in range(C - 1))
     assert eligible["rank"] > 3 * eligible["onehot"]
     assert eligible["rank"] >= 40  # pins the enabler, not the exact count
+
+
+def test_superchunk_all_frozen_chunks(rng):
+    # masks with ALL-FROZEN chunks (the N=4096 shape): their body R is the
+    # identity, the schedule empties their compose masks, and the kernel
+    # variants must still read the ascend-path pendings (round-4 touch-set
+    # regression: pend_b inputs were implied only by the compose mask)
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+    from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_np
+
+    N, K, L, S = 256, 64, 4, 32  # low rate → several all-frozen chunks
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    from polarcode_and_ldpc_tpu.models.polar.construction import (
+        bit_reverse_permutation,
+    )
+    flags = fm[np.asarray(bit_reverse_permutation(N))].reshape(N // S, S)
+    assert flags.all(axis=1).any(), "mask has no all-frozen chunk"
+    llr = (rng.standard_normal((128, N)) * 1.5).astype(np.float64)
+    outs = []
+    for ctrl in ("fused", "kernel-interpret", "unroll-kernel"):
+        if ctrl == "unroll-kernel":
+            # interpret-mode twin of the unroll-kernel schedule
+            d = jax.jit(make_scl_decoder_scan(
+                N, fm, L, chunk=S, dtype=jnp.float64,
+                control_impl="kernel-interpret", mask_dedup="union"))
+        else:
+            d = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                              dtype=jnp.float64,
+                                              control_impl=ctrl))
+        outs.append(tuple(np.asarray(x) for x in d(llr)))
+    for u, m in outs[1:]:
+        np.testing.assert_array_equal(u, outs[0][0])
+        np.testing.assert_array_equal(m, outs[0][1])
+    _, ref_m, ref_paths = scl_decode_np(llr[0], fm, L)
+    np.testing.assert_allclose(outs[0][1][0], ref_m, atol=1e-9)
+    np.testing.assert_array_equal(outs[0][0][0], ref_paths)

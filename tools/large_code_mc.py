@@ -51,6 +51,13 @@ def main() -> None:
     ap.add_argument("--scl-control", default="split",
                     choices=["split", "fused", "kernel", "unroll-fused",
                              "unroll-kernel"])
+    ap.add_argument("--polar-scout", default="",
+                    help="comma list of SNRs: quick FER scout (40k frames / "
+                         "200 error cap each, same compiled runtime-SNR "
+                         "pipeline) before the 1M run; the point with FER "
+                         "closest to 3e-3 within [5e-4, 3e-2] replaces "
+                         "--polar-snr so the million-frame run exercises "
+                         "real early-stop accounting in the waterfall")
     ap.add_argument("--skip-ldpc", action="store_true")
     ap.add_argument("--skip-polar", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -91,6 +98,26 @@ def main() -> None:
         sim.run(2 * args.polar_chunk * args.polar_cpd, seed=0,
                 extra_args=(jnp.float32(args.polar_snr),))
         _log(f"polar: compile+warmup {time.perf_counter() - t0:.1f}s")
+        if args.polar_scout:
+            scout = []
+            for snr in (float(s) for s in args.polar_scout.split(",")):
+                r = sim.run(40000, max_errors=200, seed=1,
+                            extra_args=(jnp.float32(snr),))
+                scout.append({"snr_db": snr, "frames": r.frames,
+                              "frame_errors": r.frame_errors,
+                              "fer": r.frame_errors / max(r.frames, 1)})
+                _log(f"polar scout @{snr:+.2f} dB: FER "
+                     f"{scout[-1]['fer']:.2e} ({r.frames} frames)")
+            ok_pts = [p for p in scout if 5e-4 <= p["fer"] <= 3e-2]
+            if ok_pts:
+                pick = min(ok_pts, key=lambda p: abs(np.log(p["fer"] / 3e-3)))
+                args.polar_snr = pick["snr_db"]
+                _log(f"polar scout picked {args.polar_snr:+.2f} dB "
+                     f"(FER {pick['fer']:.2e})")
+            else:
+                _log("polar scout found no waterfall point; keeping "
+                     f"--polar-snr {args.polar_snr}")
+            out["polar_scl32_n4096_scout"] = scout
         t0 = time.perf_counter()
         res = sim.run(args.frames, seed=0,
                       extra_args=(jnp.float32(args.polar_snr),))

@@ -51,7 +51,9 @@ def _steady(fn, *args, iters=5):
 
 
 def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0,
-                 scan_chunks: int = 16) -> dict:
+                 scan_chunks: int = 16, variant: str = "bp",
+                 schedule: str = "flooding",
+                 normalization: float = 1.0) -> dict:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -75,7 +77,9 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0,
     llr = jnp.asarray(
         awgn_llr_np(cw, snr_db, rng.standard_normal((nb_frames, n)))
         .astype(np.float32))
-    dec = fec.QCBPDecoder(base, z, max_iter=20, early_stop=True)
+    dec = fec.QCBPDecoder(base, z, max_iter=20, early_stop=True,
+                          variant=variant, normalization=normalization,
+                          schedule=schedule)
     # chained on-chip measurement (lax.scan over scan_chunks batches in
     # one dispatched program, errors counted on device) — per-dispatch
     # tunnel round-trips otherwise tax a ~4 ms decode ~2.7x
@@ -102,7 +106,9 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0,
     ber = float(np.asarray(be).sum()) / (nb_frames * enc.k)
     fer = float(np.asarray(fe).sum()) / nb_frames
     out = {
-        "config": {"n": n, "k": k, "z": z, "dv": 3, "dc": 6, "decoder": "qc-bp",
+        "config": {"n": n, "k": k, "z": z, "dv": 3, "dc": 6,
+                   "decoder": f"qc-{variant}", "schedule": schedule,
+                   "normalization": normalization,
                    "max_iter": 20, "snr_db": snr_db, "batch": batch,
                    "scan_chunks": scan_chunks},
         "construction_seconds": t_constr,
@@ -119,7 +125,8 @@ def run_ldpc8192(batch: int, frames: int, snr_db: float = 3.0,
 def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                   chunk: int = 64, body: str = "xla",
                   leaf: str = "onehot", control: str = "split",
-                  node_mode: str = "exact") -> dict:
+                  node_mode: str = "exact",
+                  mask_dedup: str = "exact") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -148,7 +155,8 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
                                    chunk=chunk, body_impl=body,
                                    leaf_impl=leaf, control_impl=control,
-                                   node_mode=node_mode))
+                                   node_mode=node_mode,
+                                   mask_dedup=mask_dedup))
     _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}) ...")
     t0 = time.perf_counter()
     u_paths, metrics = jax.block_until_ready(dec(llr))
@@ -163,7 +171,8 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
         "config": {"N": N, "K": K, "list_size": list_size, "decoder": "scl",
                    "impl": "scan-chunked", "chunk": chunk, "snr_db": snr_db,
                    "batch": batch, "body_impl": body, "leaf_impl": leaf,
-                   "control_impl": control, "node_mode": node_mode},
+                   "control_impl": control, "node_mode": node_mode,
+                   "mask_dedup": mask_dedup},
         "compile_seconds": t_compile,
         "decode_seconds_per_batch": t,
         "decoded_info_mbps": batch * K / t / 1e6,
@@ -185,6 +194,13 @@ def main():
                     choices=["split", "fused", "kernel", "unroll-fused",
                              "unroll-kernel"])
     ap.add_argument("--node-mode", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--mask-dedup", default="exact", choices=["exact", "union"])
+    ap.add_argument("--variant", default="bp",
+                    choices=["bp", "ms", "nms", "oms"])
+    ap.add_argument("--schedule", default="flooding",
+                    choices=["flooding", "layered"])
+    ap.add_argument("--normalization", type=float, default=1.0)
+    ap.add_argument("--snr-db", type=float, default=3.0)
     ap.add_argument("--out-name", default=None,
                     help="artifact filename override (results/tpu/<name>)")
     ap.add_argument("--cpu", action="store_true")
@@ -195,12 +211,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     if args.which == "ldpc8192":
-        out = run_ldpc8192(args.batch or 512, args.frames)
+        out = run_ldpc8192(args.batch or 512, args.frames,
+                           snr_db=args.snr_db, variant=args.variant,
+                           schedule=args.schedule,
+                           normalization=args.normalization)
         path = OUT_DIR / "ldpc_n8192_qc_bp.json"
     else:
         out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk,
                             body=args.body, leaf=args.leaf,
-                            control=args.control, node_mode=args.node_mode)
+                            control=args.control, node_mode=args.node_mode,
+                            mask_dedup=args.mask_dedup)
         path = OUT_DIR / "polar_n4096_scl32.json"
     if args.out_name:
         path = OUT_DIR / args.out_name
