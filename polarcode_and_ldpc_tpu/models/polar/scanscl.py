@@ -252,7 +252,11 @@ def _leaf_llrs_zero_dec(alpha):
 #: (identical DAG — the split only reorders independent ops).  Caps the
 #: pass's in-kernel temporaries: an uncapped S=128 pass pushed a marginal
 #: superkernel variant past the 16 MB scoped-VMEM stack (measured r4).
-_LEVELPAR_MAX = 64
+#: ``FEC_LEVELPAR_MAX=1`` disables the flat passes entirely (pure
+#: recursion — the bit-identical pre-r4 program), for perf A/Bs.
+import os as _os
+
+_LEVELPAR_MAX = int(_os.environ.get("FEC_LEVELPAR_MAX", "64"))
 
 
 def _rate0_metric_levelpar(alpha):

@@ -51,12 +51,25 @@ def pallas_available() -> bool:
         return False
 
 
-def pallas_supported(graph: TannerGraph, batch_tile: int = 128) -> bool:
+def pallas_supported(graph: TannerGraph, batch_tile: int = 128,
+                     schedule: str = "flooding",
+                     num_layers: int = 4) -> bool:
     """True when the fused kernel's VMEM working set fits."""
     if not pallas_available():
         return False
-    perm = graph.dv_max * graph.dc_max * graph.n * graph.m * 4
-    msgs = batch_tile * (graph.dv_max * graph.n + graph.dc_max * graph.m) * 4
+    if schedule == "layered":
+        # layer-major permutation tensor [G, dv, dc, n, mpad]
+        from ..models.ldpc.layered import layer_bounds
+
+        bounds = layer_bounds(graph.m, num_layers)
+        mpad = -(-max(c1 - c0 for c0, c1 in bounds) // 128) * 128
+        perm = len(bounds) * graph.dv_max * graph.dc_max * graph.n * mpad * 4
+        msgs = batch_tile * (graph.n
+                             + len(bounds) * graph.dc_max * mpad) * 4
+    else:
+        perm = graph.dv_max * graph.dc_max * graph.n * graph.m * 4
+        msgs = batch_tile * (graph.dv_max * graph.n
+                             + graph.dc_max * graph.m) * 4
     work = batch_tile * graph.n * 4 * 4
     return perm + msgs + work <= _VMEM_BUDGET_BYTES
 
@@ -80,7 +93,7 @@ def resolve_bp_impl(graph: TannerGraph, xla_decode, max_iter: int,
     import jax
 
     supported = (impl in ("pallas", "auto")
-                 and pallas_supported(graph, batch_tile)
+                 and pallas_supported(graph, batch_tile, schedule, num_layers)
                  and jax.default_backend() == "tpu"
                  and dtype == jnp.float32)
     if not supported:
@@ -162,11 +175,18 @@ def make_bp_decoder_pallas(
         raise ValueError(f"unknown check_rule {check_rule!r}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
-    if schedule == "layered":
+    layered = schedule == "layered"
+    if layered:
         assert check_rule == "ms", "layered schedule is min-sum only"
         from ..models.ldpc.layered import layer_bounds
 
         bounds = layer_bounds(graph.m, num_layers)
+        # Mosaic cannot slice the minor (lane) dim at non-128 offsets
+        # (lowers through an unsupported >2D gather), so the per-layer
+        # tensors are REPACKED layer-major: P_lay [G, dv, dc, n, mpad]
+        # indexed by leading ints only.  mpad = widest layer, lane-padded.
+        mpad = max(c1 - c0 for c0, c1 in bounds)
+        mpad = -(-mpad // 128) * 128
     g = graph
     dv, dc, n, m = g.dv_max, g.dc_max, g.n, g.m
     Bt = batch_tile
@@ -180,17 +200,28 @@ def make_bp_decoder_pallas(
                 H_host[int(cv[c, s]), c] = 1.0
     cmask_f = cmask_host.T.astype(np.float32)          # [dc, m]
     vmask_f = np.asarray(g.var_mask).T.astype(np.float32)  # [dv, n]
+    if layered:
+        # layer-major repack (see _layered_iteration): padded columns have
+        # no P ones and a zero mask, so they contribute exact zeros
+        G = len(bounds)
+        P_lay = np.zeros((G, dv, dc, n, mpad), np.float32)
+        cmask_lay = np.zeros((G, dc, mpad), np.float32)
+        for gi, (c0, c1) in enumerate(bounds):
+            P_lay[gi, :, :, :, : c1 - c0] = P_host[:, :, :, c0:c1]
+            cmask_lay[gi, :, : c1 - c0] = cmask_f[:, c0:c1]
+        P_host, cmask_f = P_lay, cmask_lay
 
     def kernel(llr_ref, P_ref, H_ref, cmask_ref, vmask_ref,
                bits_ref, iters_ref,
                V, C, latched, done, state):
         llr = llr_ref[:]                       # [Bt, n]
-        cmask = cmask_ref[:]                   # [dc, m]
+        cmask = cmask_ref[:]                   # [dc, m] / layered [G, dc, mpad]
         vmask = vmask_ref[:]                   # [dv, n]
-        if schedule == "layered":
+        if layered:
             V[0] = llr                         # running totals Q
-            for s in range(dc):
-                C[s] = jnp.zeros((Bt, m), jnp.float32)  # R (c2v) storage
+            for gi in range(len(bounds)):      # R (c2v) storage
+                for s in range(dc):
+                    C[gi, s] = jnp.zeros((Bt, mpad), jnp.float32)
         else:
             for sp in range(dv):
                 V[sp] = llr                    # init v2c = channel LLR
@@ -205,21 +236,25 @@ def make_bp_decoder_pallas(
             # per layer, v2c from the LIVE totals, min-sum refresh of the
             # layer's R planes, totals absorb the deltas via per-slot
             # one-hot matmul moves (exact single-edge selections → bit-
-            # identical to the XLA decoder and the float64 twin)
+            # identical to the XLA decoder and the float64 twin).  All
+            # per-layer tensors are LAYER-MAJOR (P_ref [G, dv, dc, n,
+            # mpad], C scratch [G, dc, Bt, mpad]) so every access indexes
+            # leading dims with static ints — Mosaic rejects minor-dim
+            # slices at non-lane-aligned offsets (>2D gather).
             inf = jnp.float32(jnp.inf)
-            for (c0, c1) in bounds:
+            for gi in range(len(bounds)):
                 Q = V[0]
                 sgs, mgs, r_olds = [], [], []
                 for s in range(dc):
-                    acc = jnp.zeros((Bt, c1 - c0), jnp.float32)
+                    acc = jnp.zeros((Bt, mpad), jnp.float32)
                     for sp in range(dv):
                         acc += jax.lax.dot_general(
-                            Q, P_ref[sp, s, :, c0:c1],
+                            Q, P_ref[gi, sp, s],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                    r_old = C[s, :, c0:c1]
+                    r_old = C[gi, s]
                     qt = acc - r_old
-                    on = cmask[s][None, c0:c1] > 0
+                    on = cmask[gi, s][None, :] > 0
                     r_olds.append(r_old)
                     sgs.append(jnp.where(on, jnp.sign(qt), 1.0))
                     mgs.append(jnp.where(on, jnp.abs(qt), inf))
@@ -227,19 +262,19 @@ def make_bp_decoder_pallas(
                 suf_s = [None] * dc
                 pre_m = [None] * dc
                 suf_m = [None] * dc
-                run = jnp.ones((Bt, c1 - c0), jnp.float32)
+                run = jnp.ones((Bt, mpad), jnp.float32)
                 for s in range(dc):
                     pre_s[s] = run
                     run = run * sgs[s]
-                run = jnp.ones((Bt, c1 - c0), jnp.float32)
+                run = jnp.ones((Bt, mpad), jnp.float32)
                 for s in range(dc - 1, -1, -1):
                     suf_s[s] = run
                     run = run * sgs[s]
-                run = jnp.full((Bt, c1 - c0), inf, jnp.float32)
+                run = jnp.full((Bt, mpad), inf, jnp.float32)
                 for s in range(dc):
                     pre_m[s] = run
                     run = jnp.minimum(run, mgs[s])
-                run = jnp.full((Bt, c1 - c0), inf, jnp.float32)
+                run = jnp.full((Bt, mpad), inf, jnp.float32)
                 for s in range(dc - 1, -1, -1):
                     suf_m[s] = run
                     run = jnp.minimum(run, mgs[s])
@@ -251,16 +286,16 @@ def make_bp_decoder_pallas(
                             mg_min - jnp.float32(offset), 0.0)
                     out = (pre_s[s] * suf_s[s]) * mg_min
                     out = out * jnp.float32(normalization)
-                    on = cmask[s][None, c0:c1] > 0
+                    on = cmask[gi, s][None, :] > 0
                     r_new = jnp.where(
                         on & jnp.isfinite(out), out, 0.0)
                     deltas.append(r_new - r_olds[s])
-                    C[s, :, c0:c1] = r_new
+                    C[gi, s] = r_new
                 for sp in range(dv):
                     accq = jnp.zeros((Bt, n), jnp.float32)
                     for s in range(dc):
                         accq += jax.lax.dot_general(
-                            deltas[s], P_ref[sp, s, :, c0:c1],
+                            deltas[s], P_ref[gi, sp, s],
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
                     V[0] = V[0] + accq
@@ -270,7 +305,7 @@ def make_bp_decoder_pallas(
             @pl.when(state[0, 0] == 0)
             def _():
                 # --- check-node update ---------------------------------------
-                if schedule == "layered":
+                if layered:
                     pass
                 elif check_rule == "bp":
                     # sum-product (decoder.py:62-96)
@@ -348,7 +383,7 @@ def make_bp_decoder_pallas(
                         out = (pre_s[s] * suf_s[s]) * mg
                         out = out * jnp.float32(normalization)
                         C[s] = jnp.where(jnp.isfinite(out), out, 0.0)
-                if schedule == "layered":
+                if layered:
                     bits = (_layered_iteration() <= 0).astype(jnp.float32)
                 else:
                     # --- variable-node update (decoder.py:98-122) -----------
@@ -398,20 +433,19 @@ def make_bp_decoder_pallas(
         llr = jnp.asarray(llr, jnp.float32)
         B = llr.shape[0]
         assert B % Bt == 0, f"batch {B} must be a multiple of tile {Bt}"
+        full = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array spec
+            shape, lambda i, _s=shape: (0,) * len(_s),
+            memory_space=pltpu.VMEM)
         bits, iters = pl.pallas_call(
             kernel,
             grid=(B // Bt,),
             in_specs=[
                 pl.BlockSpec((Bt, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((dv, dc, n, m), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, m), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((dc, m), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((dv, n), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                full(P_host.shape),
+                full((n, m)),
+                full(cmask_f.shape),
+                full((dv, n)),
             ],
             out_specs=[
                 pl.BlockSpec((Bt, n), lambda i: (i, 0),
@@ -424,8 +458,10 @@ def make_bp_decoder_pallas(
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((dv, Bt, n), jnp.float32),
-                pltpu.VMEM((dc, Bt, m), jnp.float32),
+                pltpu.VMEM((1, Bt, n) if layered else (dv, Bt, n),
+                           jnp.float32),
+                pltpu.VMEM((len(bounds), dc, Bt, mpad) if layered
+                           else (dc, Bt, m), jnp.float32),
                 pltpu.VMEM((Bt, n), jnp.float32),
                 pltpu.VMEM((Bt, 1), jnp.float32),
                 pltpu.SMEM((1, 1), jnp.int32),

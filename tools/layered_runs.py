@@ -62,13 +62,17 @@ def main() -> int:
                                       rng.standard_normal(cw.shape))
                           .astype(np.float32))
         point = {}
+        # num_layers=2 keeps the layer-major P tensor inside the kernel's
+        # VMEM budget at n=504 (2·dv·dc·n·128·4B ≈ 9.3 MB; 4 layers would
+        # need 18.6) — the kernel is the point of the serving artifact
         for name, dec_kind in (("flooding_nms", "nms"),
                                ("layered_nms", "layered-nms")):
-            r = bench.bench_ldpc_bp(decoder=dec_kind, snr_db=snr)
+            r = bench.bench_ldpc_bp(decoder=dec_kind, snr_db=snr,
+                                    num_layers=2)
             d = (fec.NMSDecoder(enc.H, max_iter=20, impl="auto")
                  if dec_kind == "nms" else
                  fec.LayeredMSDecoder(enc.H, max_iter=20, normalization=0.75,
-                                      impl="auto", num_layers=4))
+                                      impl="auto", num_layers=2))
             bits, iters = d.decode(llr, return_iterations=True)
             iters = np.asarray(iters)
             point[name] = {
@@ -92,7 +96,7 @@ def main() -> int:
     cw_s = (msgs_s.astype(np.int64) @ np.asarray(enc.G)) % 2
     d_f = fec.NMSDecoder(enc.H, max_iter=20, impl="auto")
     d_l = fec.LayeredMSDecoder(enc.H, max_iter=20, normalization=0.75,
-                               impl="auto", num_layers=4)
+                               impl="auto", num_layers=2)
     info_idx = np.asarray(enc.info_positions)
     for snr in (0.0, 0.5, 1.0, 1.5, 2.0):
         llr = jnp.asarray(awgn_llr_np(cw_s, snr,
