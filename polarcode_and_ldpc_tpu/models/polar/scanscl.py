@@ -518,6 +518,18 @@ def _rep_fast_rank(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     return beta, pm, _onehot_to_rank(R)
 
 
+def _apply_perm_rank_gather(r, x):
+    """Rank apply ``out[l] = x[r[l]]`` as an XLA gather (``take_along_axis``
+    over the list axis; Mosaic kernels keep the select chains).  The
+    select-sum form is O(L·J) work per element — fine at L = 8, dominant
+    at L = 32.  NOTE rank vectors are SELECTIONS, not permutations: after
+    a prune several survivors may share a source path (duplicated rows),
+    so sort/scatter formulations are invalid — a gather is required.
+    Exact for any payload dtype/values (pure selection)."""
+    idx = jnp.broadcast_to(r[:, None, :], (r.shape[0],) + x.shape[1:])
+    return jnp.take_along_axis(x, idx, axis=0)
+
+
 #: rank-vector list algebra — XLA broadcast forms
 _RANK_ALGEBRA = {
     "perm": "rank",
@@ -530,6 +542,19 @@ _RANK_ALGEBRA = {
     "rate1_fast": _rate1_fast_rank,
     "rep_fast": _rep_fast_rank,
 }
+
+
+def rank_algebra_for(Lsz: int):
+    """XLA rank algebra tuned to the list size: the select-sum perm apply
+    at L ≥ 16 is replaced by the gather form (bit-identical — both are
+    pure selections).  Shared by the scan decoder and the superchunk
+    kernels' XLA fallback twins."""
+    if Lsz < 16:
+        return _RANK_ALGEBRA
+    alg = dict(_RANK_ALGEBRA)
+    alg["apply_perm"] = _apply_perm_rank_gather
+    alg["apply_perm_bits"] = _apply_perm_rank_gather
+    return alg
 
 
 def _ctz(x: int) -> int:
@@ -934,7 +959,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     assert frozen_mask.shape == (N,)
     assert perm_impl in ("onehot", "rank"), perm_impl
     assert mask_dedup in ("exact", "union"), mask_dedup
-    alg_x = _RANK_ALGEBRA if perm_impl == "rank" else _BROADCAST_ALGEBRA
+    alg_x = (rank_algebra_for(list_size) if perm_impl == "rank"
+             else _BROADCAST_ALGEBRA)
     S = min(chunk, N)
     assert S & (S - 1) == 0 and N % S == 0
     C = N // S

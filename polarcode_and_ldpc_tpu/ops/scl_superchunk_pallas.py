@@ -31,10 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.polar.scanscl import (
-    _RANK_ALGEBRA,
     _make_chunk_body,
     _make_last_fn,
     _make_super_fn,
+    rank_algebra_for,
     super_touch_sets,
 )
 from .scl_body_pallas import _LOOP_ALGEBRA, _RANK_LOOP_ALGEBRA
@@ -162,7 +162,7 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA,
         compose_a=compose_a, compose_b=compose_b)
     # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
-    xla_algebra = _RANK_ALGEBRA if rank else None
+    xla_algebra = rank_algebra_for(Lsz) if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
                                 algebra=xla_algebra, node_mode=node_mode)
     super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla,
@@ -280,7 +280,7 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
     last_kernel_fn = _make_last_fn(
         t, sizes, Lsz, dtype, body_kernel,
         algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA)
-    xla_algebra = _RANK_ALGEBRA if rank else None
+    xla_algebra = rank_algebra_for(Lsz) if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
                                 algebra=xla_algebra, node_mode=node_mode)
     last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla,

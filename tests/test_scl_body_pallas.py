@@ -296,3 +296,38 @@ def test_superchunk_all_frozen_chunks(rng):
     _, ref_m, ref_paths = scl_decode_np(llr[0], fm, L)
     np.testing.assert_allclose(outs[0][1][0], ref_m, atol=1e-9)
     np.testing.assert_array_equal(outs[0][0][0], ref_paths)
+
+
+def test_rank_gather_apply_large_list(rng):
+    # L >= 16 XLA rank algebra applies permutations via take_along_axis
+    # (rank vectors are SELECTIONS — duplicated sources after prunes — so
+    # gather, never sort/scatter); must stay exact vs one-hot and the twin
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        _apply_perm_rank_gather,
+        make_scl_decoder_scan,
+        rank_algebra_for,
+    )
+    from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_np
+
+    assert (rank_algebra_for(32)["apply_perm"] is _apply_perm_rank_gather
+            and rank_algebra_for(8)["apply_perm"]
+            is not _apply_perm_rank_gather)
+    N, L, S = 256, 32, 64
+    mask = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, 140, "bhattacharyya", 2.0)[0])
+    llr = rng.standard_normal((3, N)) * 1.5
+    llr[0, :3] = 0.0
+    d_r = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64, leaf_impl="sort",
+                                        perm_impl="rank"))
+    d_o = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64, leaf_impl="sort",
+                                        perm_impl="onehot"))
+    u_r, m_r = d_r(llr)
+    u_o, m_o = d_o(llr)
+    np.testing.assert_array_equal(np.asarray(u_r), np.asarray(u_o))
+    np.testing.assert_array_equal(np.asarray(m_r), np.asarray(m_o))
+    _, rm, rp = scl_decode_np(llr[1], mask, L)
+    np.testing.assert_allclose(np.asarray(m_r)[1], rm, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u_r)[1], rp)

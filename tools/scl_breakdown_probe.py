@@ -32,6 +32,7 @@ def main() -> None:
                     choices=["split", "fused", "unroll-fused",
                              "unroll-kernel", "kernel"])
     ap.add_argument("--perm", default="rank", choices=["onehot", "rank"])
+    ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
     ap.add_argument("--masks", default="all_frozen,all_info,real_rate_half")
     args = ap.parse_args()
     import jax
@@ -63,7 +64,8 @@ def main() -> None:
         dec = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=args.chunk,
                                             body_impl=args.body,
                                             control_impl=args.control,
-                                            perm_impl=args.perm))
+                                            perm_impl=args.perm,
+                                            leaf_impl=args.leaf))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0
@@ -77,7 +79,7 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0) / 5)
         print(f'{{"mask": "{name}", "batch": {B}, "chunk": {args.chunk}, '
               f'"body": "{args.body}", "control": "{args.control}", '
-              f'"perm": "{args.perm}", '
+              f'"perm": "{args.perm}", "leaf": "{args.leaf}", '
               f'"compile_s": {tc:.1f}, "steady_s": {best:.4f}}}', flush=True)
 
 
