@@ -335,6 +335,18 @@ def main() -> None:
         ldpc_mfu_estimate=round(ldpc["roofline"]["mfu_vs_bf16_peak"], 6),
     )
     print(json.dumps(result), flush=True)
+    # cheap informational stage: layered (serving-schedule) NMS — the
+    # round-4 LDPC serving lever (flooding stays the reference-exact
+    # headline field above); num_layers=2 fits the layer-major kernel
+    try:
+        lay = bench_ldpc_bp(decoder="layered-nms", num_layers=2)
+        result.update(
+            ldpc_layered_nms_mbps=round(lay["mbps"], 1),
+            ldpc_layered_ber_3db=lay["ber_3db"],
+        )
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001 — bench must not die here
+        _log(f"layered stage failed (keeping prior line): {e!r}")
     # cheap stage (~4 s compile): the whole-decode SC Pallas kernel
     try:
         sc = bench_sc_mega()

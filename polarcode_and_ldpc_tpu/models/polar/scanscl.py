@@ -548,8 +548,9 @@ def rank_algebra_for(Lsz: int):
     """XLA rank algebra tuned to the list size: the select-sum perm apply
     at L ≥ 16 is replaced by the gather form (bit-identical — both are
     pure selections).  Shared by the scan decoder and the superchunk
-    kernels' XLA fallback twins."""
-    if Lsz < 16:
+    kernels' XLA fallback twins.  ``FEC_RANK_GATHER_MIN_L`` overrides the
+    threshold (perf A/Bs; 99 disables the gather form)."""
+    if Lsz < int(_os.environ.get("FEC_RANK_GATHER_MIN_L", "16")):
         return _RANK_ALGEBRA
     alg = dict(_RANK_ALGEBRA)
     alg["apply_perm"] = _apply_perm_rank_gather
