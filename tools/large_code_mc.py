@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--scl-control", default="split",
                     choices=["split", "fused", "kernel", "unroll-fused",
                              "unroll-kernel"])
+    ap.add_argument("--polar-max-errors", type=int, default=None,
+                    help="early-stop frame-error cap for the polar run "
+                         "(exercises the exact crossing accounting at scale)")
     ap.add_argument("--polar-scout", default="",
                     help="comma list of SNRs: quick FER scout (40k frames / "
                          "200 error cap each, same compiled runtime-SNR "
@@ -119,11 +122,12 @@ def main() -> None:
                      f"--polar-snr {args.polar_snr}")
             out["polar_scl32_n4096_scout"] = scout
         t0 = time.perf_counter()
-        res = sim.run(args.frames, seed=0,
+        res = sim.run(args.frames, max_errors=args.polar_max_errors, seed=0,
                       extra_args=(jnp.float32(args.polar_snr),))
         wall = time.perf_counter() - t0
         d = res.to_dict()
         d.update(wall_seconds_post_warmup=wall, snr_db=args.polar_snr,
+                 max_errors=args.polar_max_errors,
                  scl_chunk=args.scl_chunk, scl_leaf=args.scl_leaf,
                  scl_control=args.scl_control,
                  chunk_frames=args.polar_chunk,

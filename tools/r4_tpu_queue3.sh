@@ -26,3 +26,8 @@ timeout 3000 python -u tools/large_code_runs.py polar4096 --batch 1024 \
     2>&1 | grep -v WARNING | tail -3
 
 echo "=== q3 done ==="
+
+echo "=== q3 stage 4: N=4096 waterfall 1M MC (corrected Es/N0 scout grid) ==="
+timeout 5400 python -u tools/large_code_mc.py --skip-ldpc \
+    --polar-scout="-1.75,-1.5,-1.25,-1.0" --polar-max-errors 1000 \
+    --scl-control unroll-fused --scl-chunk 128 2>&1 | grep -v WARNING | tail -10
