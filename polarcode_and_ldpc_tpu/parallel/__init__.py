@@ -9,6 +9,7 @@ from .mesh import (
     CODE_AXIS,
     FRAME_AXIS,
     code_sharded_decode,
+    code_sharded_polar_transform,
     default_mesh,
     frame_sharding,
     mesh_2d,
@@ -21,6 +22,7 @@ __all__ = [
     "CODE_AXIS",
     "FRAME_AXIS",
     "code_sharded_decode",
+    "code_sharded_polar_transform",
     "default_mesh",
     "mesh_2d",
     "multihost_mesh",

@@ -77,6 +77,31 @@ def code_sharded_decode(decode, mesh: Mesh, frame_axis: str = FRAME_AXIS,
     return jax.jit(decode, in_shardings=in_s, out_shardings=out_s)
 
 
+def code_sharded_polar_transform(mesh: Mesh, frame_axis: str = FRAME_AXIS,
+                                 code_axis: str = CODE_AXIS):
+    """Polar butterfly ``u [B, N] → x = u·G_N`` with the CODE axis sharded
+    across chips — the polar counterpart of the QC-LDPC 2-D mesh story
+    (SURVEY §2.6 stretch: sharding within a frame).
+
+    The butterfly's stage-s XORs pair positions ``j`` and ``j + 2^s``:
+    stages with ``2^s <`` the shard width are shard-local; wider stages
+    pair elements living on different chips, which XLA's SPMD partitioner
+    lowers to ICI collective-permutes of the upper halves.  Unlike the SC
+    *decoder* (serial over leaves — frames stay the only useful polar
+    decode parallelism), the ENCODE butterfly is fully parallel, so
+    within-frame sharding composes cleanly with frame data-parallelism
+    for codes too wide for one chip's share of HBM.  Outputs are
+    bit-identical to the unsharded transform (placement only).
+
+    Returns ``transform(u [B, N] int8) → x [B, N] int8`` jitted with
+    (frames, code) shardings on input and output.
+    """
+    from ..models.polar.encoder import polar_transform
+
+    in_s = NamedSharding(mesh, P(frame_axis, code_axis))
+    return jax.jit(polar_transform, in_shardings=in_s, out_shardings=in_s)
+
+
 def pad_to_multiple(n: int, multiple: int) -> int:
     """Smallest multiple of ``multiple`` that is ≥ n."""
     return ((n + multiple - 1) // multiple) * multiple
