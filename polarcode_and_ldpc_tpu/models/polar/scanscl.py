@@ -545,12 +545,13 @@ _RANK_ALGEBRA = {
 
 
 def rank_algebra_for(Lsz: int):
-    """XLA rank algebra tuned to the list size: the select-sum perm apply
-    at L ≥ 16 is replaced by the gather form (bit-identical — both are
-    pure selections).  Shared by the scan decoder and the superchunk
-    kernels' XLA fallback twins.  ``FEC_RANK_GATHER_MIN_L`` overrides the
-    threshold (perf A/Bs; 99 disables the gather form)."""
-    if Lsz < int(_os.environ.get("FEC_RANK_GATHER_MIN_L", "16")):
+    """XLA rank algebra for the list size.  The ``take_along_axis`` gather
+    apply was measured and REJECTED as a default (v5e, 2026-08-20): XLA
+    lowers the per-lane-index gather to scalar code — N=4096 SCL-32 real
+    mask 29.06 s vs 0.156 s per 1024-frame batch (186× slower than the
+    select-sum form).  It remains reachable via ``FEC_RANK_GATHER_MIN_L``
+    for future-backend A/Bs; both forms are bit-identical selections."""
+    if Lsz < int(_os.environ.get("FEC_RANK_GATHER_MIN_L", "1000000")):
         return _RANK_ALGEBRA
     alg = dict(_RANK_ALGEBRA)
     alg["apply_perm"] = _apply_perm_rank_gather

@@ -310,17 +310,34 @@ def test_rank_gather_apply_large_list(rng):
     )
     from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_np
 
-    assert (rank_algebra_for(32)["apply_perm"] is _apply_perm_rank_gather
-            and rank_algebra_for(8)["apply_perm"]
-            is not _apply_perm_rank_gather)
+    import os
+
+    os.environ["FEC_RANK_GATHER_MIN_L"] = "16"
+    try:
+        assert (rank_algebra_for(32)["apply_perm"]
+                is _apply_perm_rank_gather
+                and rank_algebra_for(8)["apply_perm"]
+                is not _apply_perm_rank_gather)
+    finally:
+        del os.environ["FEC_RANK_GATHER_MIN_L"]
+    # gather stays OFF by default — measured 186x SLOWER on v5e (XLA
+    # scalarizes per-lane-index gathers); kept only as an A/B knob
+    assert rank_algebra_for(32)["apply_perm"] is not _apply_perm_rank_gather
     N, L, S = 256, 32, 64
     mask = frozen_mask_from_positions(
         N, fec.construct_polar_code(N, 140, "bhattacharyya", 2.0)[0])
     llr = rng.standard_normal((3, N)) * 1.5
     llr[0, :3] = 0.0
-    d_r = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
-                                        dtype=jnp.float64, leaf_impl="sort",
-                                        perm_impl="rank"))
+    import os
+
+    os.environ["FEC_RANK_GATHER_MIN_L"] = "16"
+    try:
+        d_r = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                            dtype=jnp.float64,
+                                            leaf_impl="sort",
+                                            perm_impl="rank"))
+    finally:
+        del os.environ["FEC_RANK_GATHER_MIN_L"]
     d_o = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
                                         dtype=jnp.float64, leaf_impl="sort",
                                         perm_impl="onehot"))
