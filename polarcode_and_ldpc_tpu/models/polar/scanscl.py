@@ -518,6 +518,44 @@ def _rep_fast_rank(alpha, pm, Lsz, leaf_impl: str = "onehot"):
     return beta, pm, _onehot_to_rank(R)
 
 
+def _apply_perm_rank_matmul(r, x):
+    """Rank apply as a ONE-HOT MATMUL riding the MXU:
+    ``out[l,m,b] = Σ_j P[l,j,b]·x[j,m,b]`` with ``P = onehot(r)`` as a
+    batched ``dot_general`` (batch axis = lanes).  The select-sum form is
+    O(L·J) VPU element-ops per plane element — dominant at L = 32 — while
+    the MXU contracts the list axis at matmul rates.
+
+    Exactness (tests + hardware bit-match enforce): P has exact 0/1
+    entries and every payload routed through ``apply_perm`` is FINITE
+    (alpha planes, beta bits, fast-node magnitude/index planes; path
+    metrics with −inf phantoms go through the leaf rankings, never this)
+    — so each output is a sum of exact zeros plus the bf16x3/x6 split
+    pieces of ONE f32, which reassemble to that f32 exactly in any
+    association order (the split pieces are constructed so every partial
+    sum is representable).  ``Precision.HIGHEST`` pins the ≥3-pass
+    decomposition."""
+    J = x.shape[0]
+    xf = (x if jnp.issubdtype(x.dtype, jnp.floating)
+          else x.astype(jnp.float32))
+    P = (r[:, None, :] == lax.broadcasted_iota(
+        jnp.int32, (r.shape[0], J, r.shape[1]), 1)).astype(xf.dtype)
+    out = jnp.einsum("ljb,jmb->lmb", P, xf,
+                     precision=lax.Precision.HIGHEST)
+    return out.astype(x.dtype)
+
+
+def _compose_rank_matmul(a, b):
+    """Rank composition ``c[l] = b[a[l]]`` as a one-hot matmul (MXU).
+    Payload values are list indices 0..L−1 — exactly representable in
+    bf16 (≤ 256), so the product/accumulate path is exact."""
+    J = b.shape[0]
+    P = (a[:, None, :] == lax.broadcasted_iota(
+        jnp.int32, (a.shape[0], J, a.shape[1]), 1)).astype(jnp.float32)
+    out = jnp.einsum("ljb,jb->lb", P, b.astype(jnp.float32),
+                     precision=lax.Precision.HIGHEST)
+    return out.astype(jnp.int32)
+
+
 def _apply_perm_rank_gather(r, x):
     """Rank apply ``out[l] = x[r[l]]`` as an XLA gather (``take_along_axis``
     over the list axis; Mosaic kernels keep the select chains).  The
@@ -551,12 +589,18 @@ def rank_algebra_for(Lsz: int):
     mask 29.06 s vs 0.156 s per 1024-frame batch (186× slower than the
     select-sum form).  It remains reachable via ``FEC_RANK_GATHER_MIN_L``
     for future-backend A/Bs; both forms are bit-identical selections."""
-    if Lsz < int(_os.environ.get("FEC_RANK_GATHER_MIN_L", "1000000")):
-        return _RANK_ALGEBRA
-    alg = dict(_RANK_ALGEBRA)
-    alg["apply_perm"] = _apply_perm_rank_gather
-    alg["apply_perm_bits"] = _apply_perm_rank_gather
-    return alg
+    if Lsz >= int(_os.environ.get("FEC_RANK_GATHER_MIN_L", "1000000")):
+        alg = dict(_RANK_ALGEBRA)
+        alg["apply_perm"] = _apply_perm_rank_gather
+        alg["apply_perm_bits"] = _apply_perm_rank_gather
+        return alg
+    if Lsz >= int(_os.environ.get("FEC_RANK_MATMUL_MIN_L", "1000000")):
+        alg = dict(_RANK_ALGEBRA)
+        alg["apply_perm"] = _apply_perm_rank_matmul
+        alg["apply_perm_bits"] = _apply_perm_rank_matmul
+        alg["compose"] = _compose_rank_matmul
+        return alg
+    return _RANK_ALGEBRA
 
 
 def _ctz(x: int) -> int:
@@ -821,7 +865,10 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
                 parent = alpha[lo - 2][:1]
             else:
                 parent = apply_perm(pend_a[lo - 2], alpha[lo - 2])
-            left = apply_perm(pend_b[lo - 1], beta[lo - 1].astype(dtype))
+            # apply on the int8 plane, cast after: the selection commutes
+            # with the 0/1 cast exactly, and int8 selects move 4x fewer
+            # bytes through the kernel's vector units than f32 ones
+            left = apply_perm_bits(pend_b[lo - 1], beta[lo - 1]).astype(dtype)
             first = broadcast_rows(parent[:, :M, :], Lsz)
             second = broadcast_rows(parent[:, M:, :], Lsz)
             parent = second + (1.0 - 2.0 * left) * first  # g
@@ -878,7 +925,7 @@ def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None):
         M = sizes[t]
         parent = (llr_nb[None] if t == 1
                   else apply_perm(pend_a[t - 2], alpha[t - 2]))
-        left = apply_perm(pend_b[t - 1], beta[t - 1].astype(dtype))
+        left = apply_perm_bits(pend_b[t - 1], beta[t - 1]).astype(dtype)
         first = broadcast_rows(parent[:, :M, :], Lsz)
         second = broadcast_rows(parent[:, M:, :], Lsz)
         alpha_t = second + (1.0 - 2.0 * left) * first  # g
@@ -1202,8 +1249,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                         parent = alg_x["apply_perm"](pend_a[lo - 2],
                                                      alpha[lo - 2])
                     first, second = parent[:, :M, :], parent[:, M:, :]
-                    left = alg_x["apply_perm"](pend_b[lo - 1],
-                                               beta[lo - 1].astype(dtype))
+                    left = alg_x["apply_perm_bits"](
+                        pend_b[lo - 1], beta[lo - 1]).astype(dtype)
                     parent = second + (1.0 - 2.0 * left) * first  # g
                     alpha[lo - 1] = parent
                     pend_a[lo - 1] = eye

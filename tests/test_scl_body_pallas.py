@@ -348,3 +348,49 @@ def test_rank_gather_apply_large_list(rng):
     _, rm, rp = scl_decode_np(llr[1], mask, L)
     np.testing.assert_allclose(np.asarray(m_r)[1], rm, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(u_r)[1], rp)
+
+
+def test_rank_matmul_apply_large_list(rng):
+    # the MXU one-hot-matmul apply (FEC_RANK_MATMUL_MIN_L) must be
+    # bit-identical to the select-sum form: one-hot rows select exactly
+    # one finite payload, and the >=3-pass f32 matmul reassembles that
+    # payload's split pieces exactly (see _apply_perm_rank_matmul)
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        _apply_perm_rank_matmul,
+        make_scl_decoder_scan,
+        rank_algebra_for,
+    )
+    from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_np
+
+    import os
+
+    # default OFF pending v5e measurements; opt-in threshold behavior
+    assert rank_algebra_for(32)["apply_perm"] is not _apply_perm_rank_matmul
+    N, L, S = 256, 32, 64
+    mask = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, 140, "bhattacharyya", 2.0)[0])
+    llr = rng.standard_normal((3, N)) * 1.5
+    llr[0, :3] = 0.0
+    os.environ["FEC_RANK_MATMUL_MIN_L"] = "16"
+    try:
+        assert (rank_algebra_for(32)["apply_perm"]
+                is _apply_perm_rank_matmul
+                and rank_algebra_for(8)["apply_perm"]
+                is not _apply_perm_rank_matmul)
+        d_m = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                            dtype=jnp.float64,
+                                            leaf_impl="sort",
+                                            perm_impl="rank"))
+    finally:
+        del os.environ["FEC_RANK_MATMUL_MIN_L"]
+    d_o = jax.jit(make_scl_decoder_scan(N, mask, L, chunk=S,
+                                        dtype=jnp.float64, leaf_impl="sort",
+                                        perm_impl="onehot"))
+    u_m, m_m = d_m(llr)
+    u_o, m_o = d_o(llr)
+    np.testing.assert_array_equal(np.asarray(u_m), np.asarray(u_o))
+    np.testing.assert_array_equal(np.asarray(m_m), np.asarray(m_o))
+    _, rm, rp = scl_decode_np(llr[1], mask, L)
+    np.testing.assert_allclose(np.asarray(m_m)[1], rm, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u_m)[1], rp)

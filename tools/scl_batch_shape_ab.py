@@ -22,6 +22,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="16384x8,4096x32",
                     help="comma list of BATCHxSCAN")
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--control", default="unroll-kernel")
     args = ap.parse_args()
 
     import bench
@@ -29,8 +31,8 @@ def main() -> int:
     for shape in args.shapes.split(","):
         batch, scan = (int(v) for v in shape.split("x"))
         t0 = time.time()
-        r = bench.bench_polar_scl8(batch=batch, control_impl="unroll-kernel",
-                                   chunk=64, scan_chunks=scan)
+        r = bench.bench_polar_scl8(batch=batch, control_impl=args.control,
+                                   chunk=args.chunk, scan_chunks=scan)
         print(f"shape {batch}x{scan}: {r['mbps']:.1f} Mbps "
               f"(BER {r['ber_3db']:.2e}, total {time.time()-t0:.0f}s)",
               flush=True)
