@@ -451,10 +451,20 @@ def _apply_perm_rank(r, x):
 
 
 def _compose_rank(a, b):
-    """Composition (apply ``b`` first, then ``a``): ``c[l] = b[a[l]]`` —
-    int32 select-sum over the (tiny) list axis: O(L²·B), vs the one-hot
-    compose's O(L³·B)."""
+    """Composition (apply ``b`` first, then ``a``): ``c[l] = b[a[l]]``.
+
+    Packed-bitfield form (see ``scl_body_pallas._compose_rank_loop``):
+    rank entries < L pack bit-fields of one int32 lane word, so the
+    composition is one per-lane variable shift + mask — O(L) ops instead
+    of the select-sum's O(L²).  Exact (pure integer).  Lists too wide to
+    pack fall back to the select-sum."""
     J = b.shape[0]
+    bits = max((J - 1).bit_length(), 1)
+    if bits * J <= 31:
+        packed = b[:1]
+        for j in range(1, J):
+            packed = packed | (b[j:j + 1] << (bits * j))
+        return jnp.right_shift(packed, a * bits) & ((1 << bits) - 1)
     sel = (a[:, None, :]
            == lax.broadcasted_iota(jnp.int32, (a.shape[0], J, a.shape[1]), 1))
     return jnp.sum(jnp.where(sel, b[None], 0), axis=1, dtype=jnp.int32)

@@ -147,9 +147,22 @@ def _apply_perm_rank_loop(r, x):
 
 
 def _compose_rank_loop(a, b):
-    """Rank composition ``c[l] = b[a[l]]`` (apply ``b`` first, then ``a``)
-    as a static select chain over ``[1, B]`` int32 rows."""
+    """Rank composition ``c[l] = b[a[l]]`` (apply ``b`` first, then ``a``).
+
+    Packed-bitfield form (round 4): rank entries are small ints
+    (< L ≤ 10 fits 3-bit fields ×L in one int32 lane), so ALL of ``b``
+    packs into ONE ``[1, B]`` word and every output row is a per-lane
+    variable shift + mask — ~20 vreg-ops instead of the L·J select
+    chain's ~385 (the op census put composes at ~25% of an all-info
+    chunk body).  Exact: pure integer ops on values < 2^bits.  Wider
+    lists fall back to the select chain."""
     L, J = a.shape[0], b.shape[0]
+    bits = max((J - 1).bit_length(), 1)
+    if bits * J <= 31:
+        packed = b[0][None, :]
+        for j in range(1, J):
+            packed = packed | (b[j][None, :] << (bits * j))
+        return jnp.right_shift(packed, a * bits) & ((1 << bits) - 1)
     rows = []
     for l in range(L):
         al = a[l][None, :]
@@ -158,6 +171,23 @@ def _compose_rank_loop(a, b):
             acc = jnp.where(al == j, b[j][None, :], acc)
         rows.append(acc)
     return jnp.concatenate(rows, axis=0)
+
+
+def _apply_perm_bits_packed_loop(r, x):
+    """Rank apply on 0/1 bit planes ``x [J, M, B] int8`` → ``[L, M, B]``
+    int8: pack the J bit-planes into one int32 word per (m, b), then each
+    output row is a per-lane variable shift + mask (the bit-plane twin of
+    ``_compose_rank_loop``'s packed form).  Exact: beta planes are
+    strictly 0/1.  J > 32 falls back to the select chain."""
+    L, J = r.shape[0], x.shape[0]
+    if J > 32:
+        return _apply_perm_rank_loop(r, x)
+    packed = x[0].astype(jnp.int32)
+    for j in range(1, J):
+        packed = packed | (x[j].astype(jnp.int32) << j)
+    rows = [jax.lax.shift_right_logical(packed, r[l][None, :]) & 1
+            for l in range(L)]
+    return jnp.stack(rows, axis=0).astype(jnp.int8)
 
 
 def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
@@ -316,7 +346,7 @@ def _identity_r_rank_loop(Lsz, batch, dtype):
 _RANK_LOOP_ALGEBRA = {
     "perm": "rank",
     "apply_perm": _apply_perm_rank_loop,
-    "apply_perm_bits": _apply_perm_rank_loop,  # selection preserves dtype
+    "apply_perm_bits": _apply_perm_bits_packed_loop,
     "compose": _compose_rank_loop,
     "info_leaf": _info_leaf_rank_loop,
     "identity_r": _identity_r_rank_loop,
