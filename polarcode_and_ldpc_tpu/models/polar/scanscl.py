@@ -213,7 +213,7 @@ def _tree_sum(x, axis: int = 1):
     return jnp.squeeze(x, axis=axis)
 
 
-def _leaf_llrs_zero_dec(alpha):
+def _leaf_llrs_zero_dec(alpha, roll_rows=None):
     """All leaf LLRs of a subtree under all-zero decisions, level-parallel.
 
     ``alpha [L, M, B] → y [L·M, B]`` (storage order per path block): with
@@ -230,19 +230,37 @@ def _leaf_llrs_zero_dec(alpha):
     in-kernel.  Valid for rate-0 subtrees and for any prefix of leaves
     before the first info decision (e.g. the whole of a repetition
     subtree, whose single info leaf comes last).
-    """
+
+    ``roll_rows`` (kernel algebras): at block sizes m ≤ 4 the
+    reshape-(R//m, m, B) form degrades to one padded vreg per block —
+    the dominant term of the flat pass (round-4 op census).  With a
+    sublane-roll primitive the partner rows come from two full-width
+    rolls + a static parity select instead: the SAME operand pairs and
+    float ops land at the SAME rows (bit-exact; rolled-in wrap values
+    are never selected), at full sublane density.  f is computed
+    redundantly at g rows (and vice versa) — finite in, finite out, and
+    discarded by the select."""
     L, M, B = alpha.shape
     if M == 1:
         return alpha.reshape(L, B)
     z = alpha.reshape(L * M, B)
     R = L * M
     m = M
+    iota = None
     while m > 1:
-        z3 = z.reshape(R // m, m, B)
         h = m // 2
-        first, second = z3[:, :h, :], z3[:, h:, :]
-        z = jnp.concatenate([f_minsum(first, second), second + first],
-                            axis=1).reshape(R, B)
+        if roll_rows is not None and m <= 4 and R >= 8:
+            if iota is None:
+                iota = lax.broadcasted_iota(jnp.int32, (R, B), 0)
+            first_half = (iota & (m - 1)) < h
+            partner = jnp.where(first_half, roll_rows(z, -h),
+                                roll_rows(z, h))
+            z = jnp.where(first_half, f_minsum(z, partner), z + partner)
+        else:
+            z3 = z.reshape(R // m, m, B)
+            first, second = z3[:, :h, :], z3[:, h:, :]
+            z = jnp.concatenate([f_minsum(first, second), second + first],
+                                axis=1).reshape(R, B)
         m = h
     return z
 
@@ -259,7 +277,7 @@ import os as _os
 _LEVELPAR_MAX = int(_os.environ.get("FEC_LEVELPAR_MAX", "64"))
 
 
-def _rate0_metric_levelpar(alpha):
+def _rate0_metric_levelpar(alpha, roll_rows=None):
     """Σ log P(0 | leaf llr) over an all-frozen subtree → ``[L, B]``.
 
     Bit-identical to the serial ``rate0(f(a,b)) + rate0(b + a)`` recursion:
@@ -272,9 +290,9 @@ def _rate0_metric_levelpar(alpha):
     if M > _LEVELPAR_MAX:
         h = M // 2
         first, second = alpha[:, :h, :], alpha[:, h:, :]
-        return (_rate0_metric_levelpar(f_minsum(first, second))
-                + _rate0_metric_levelpar(second + first))
-    s = _d0_d1(_leaf_llrs_zero_dec(alpha))[0]       # [L·M, B]
+        return (_rate0_metric_levelpar(f_minsum(first, second), roll_rows)
+                + _rate0_metric_levelpar(second + first, roll_rows))
+    s = _d0_d1(_leaf_llrs_zero_dec(alpha, roll_rows))[0]   # [L·M, B]
     rows = L * M
     while rows > L:
         s3 = s.reshape(rows // 2, 2, B)
@@ -289,7 +307,7 @@ def _rows(y, idxs):
     return jnp.concatenate([y[i][None] for i in idxs], axis=0)
 
 
-def _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl):
+def _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl, roll_rows=None):
     """EXACT repetition node (all leaves frozen except the last in decode
     order) — bit-identical to the leaf-by-leaf recursion, restructured:
 
@@ -309,7 +327,7 @@ def _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl):
     ``alpha [L, M, B]``, ``pm [L, B]`` → ``(beta [L, M, B] int8, pm', R)``.
     """
     L, M, B = alpha.shape
-    y = _leaf_llrs_zero_dec(alpha)                  # [L·M, B]
+    y = _leaf_llrs_zero_dec(alpha, roll_rows)       # [L·M, B]
     d0 = _d0_d1(y)[0]
     captures = []                                   # b_{log2 M} .. b_1
     s, m, rows = d0, M, L * M
@@ -653,12 +671,13 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
     compose = algebra["compose"]
     info_leaf = algebra["info_leaf"]
     identity_r = algebra["identity_r"]
+    roll_rows = algebra.get("roll_rows")
 
     def node(alpha, pm, off: int, size: int):
         sub = flags[off:off + size]
         if sub.all():  # rate-0: metrics only, no prune (level-parallel)
             return (jnp.zeros(alpha.shape, jnp.int8),
-                    pm + _rate0_metric_levelpar(alpha), None)
+                    pm + _rate0_metric_levelpar(alpha, roll_rows), None)
         if size == 1:
             return info_leaf(alpha[:, 0, :], pm, Lsz, leaf_impl)
         if node_mode == "fast":
@@ -671,7 +690,8 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
             # recursion, computed level-parallel (see _rep_exact).  Wider
             # REPs split through the generic recursion first (left rate-0
             # + right REP — the identical DAG), bounding kernel VMEM
-            return _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl)
+            return _rep_exact(alpha, pm, Lsz, info_leaf, leaf_impl,
+                              roll_rows)
         half = size // 2
         first, second = alpha[:, :half, :], alpha[:, half:, :]
         beta_l, pm, R_l = node(f_minsum(first, second), pm, off, half)

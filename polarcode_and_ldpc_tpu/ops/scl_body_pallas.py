@@ -111,6 +111,12 @@ def _identity_r_loop(Lsz, batch, dtype):
     return jnp.stack([(iota == l).astype(dtype) for l in range(Lsz)], axis=0)
 
 
+def _roll_rows_kernel(x, shift):
+    """Sublane roll for the level-parallel deep levels (hardware-validated
+    pltpu.roll; jnp.roll semantics, shift normalized non-negative)."""
+    return pltpu.roll(x, shift % x.shape[0], 0)
+
+
 #: Mosaic-friendly one-hot list algebra (static loops, 2D tensors)
 _LOOP_ALGEBRA = {
     "perm": "onehot",
@@ -119,6 +125,7 @@ _LOOP_ALGEBRA = {
     "compose": _compose_loop,
     "info_leaf": _info_leaf_loop,
     "identity_r": _identity_r_loop,
+    "roll_rows": _roll_rows_kernel,
 }
 
 
@@ -352,6 +359,7 @@ _RANK_LOOP_ALGEBRA = {
     "identity_r": _identity_r_rank_loop,
     "rate1_fast": _rate1_fast_rank_loop,
     "rep_fast": _rep_fast_rank_loop,
+    "roll_rows": _roll_rows_kernel,
 }
 
 
