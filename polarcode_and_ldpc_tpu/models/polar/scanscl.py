@@ -562,6 +562,8 @@ def _apply_perm_rank_matmul(r, x):
     association order (the split pieces are constructed so every partial
     sum is representable).  ``Precision.HIGHEST`` pins the ≥3-pass
     decomposition."""
+    if x.shape[1] < int(_os.environ.get("FEC_RANK_MATMUL_MIN_M", "0")):
+        return _apply_perm_rank(r, x)  # narrow planes: transposes dominate
     J = x.shape[0]
     xf = (x if jnp.issubdtype(x.dtype, jnp.floating)
           else x.astype(jnp.float32))
@@ -569,6 +571,25 @@ def _apply_perm_rank_matmul(r, x):
         jnp.int32, (r.shape[0], J, r.shape[1]), 1)).astype(xf.dtype)
     out = jnp.einsum("ljb,jmb->lmb", P, xf,
                      precision=lax.Precision.HIGHEST)
+    return out.astype(x.dtype)
+
+
+def _apply_perm_rank_bits_packed(r, x):
+    """Rank apply on 0/1 bit planes ``x [J, M, B] int8`` (XLA form): pack
+    the J bit-planes into one int32 word per (m, b); each output row is a
+    per-lane variable shift + mask — O(J + L) ops instead of the
+    select-sum's O(L·J).  Exact (beta planes are strictly 0/1); J > 32
+    falls back to the select-sum."""
+    J = x.shape[0]
+    if J > 32:
+        return _apply_perm_rank(r, x)
+    xi = x.astype(jnp.int32)
+    packed = xi[0]                                               # [M, B]
+    for j in range(1, J):  # in-graph shifts: j=31 wraps the sign bit fine
+        packed = packed | (xi[j] << j)
+    # arithmetic >> is safe under the & 1: sign-extension only enters
+    # from the top, the low bit after a k<32 shift is unaffected
+    out = jnp.right_shift(packed[None], r[:, None, :]) & 1
     return out.astype(x.dtype)
 
 
@@ -600,7 +621,7 @@ def _apply_perm_rank_gather(r, x):
 _RANK_ALGEBRA = {
     "perm": "rank",
     "apply_perm": _apply_perm_rank,
-    "apply_perm_bits": _apply_perm_rank,  # selection is dtype-preserving
+    "apply_perm_bits": _apply_perm_rank_bits_packed,
     "compose": _compose_rank,
     "info_leaf": _info_leaf_rank,
     "identity_r": _identity_r_rank,
@@ -623,9 +644,10 @@ def rank_algebra_for(Lsz: int):
         alg["apply_perm_bits"] = _apply_perm_rank_gather
         return alg
     if Lsz >= int(_os.environ.get("FEC_RANK_MATMUL_MIN_L", "1000000")):
+        # bit-plane applies keep the packed-shift form (beats the MXU
+        # round-trip); only float-plane applies and composes ride matmuls
         alg = dict(_RANK_ALGEBRA)
         alg["apply_perm"] = _apply_perm_rank_matmul
-        alg["apply_perm_bits"] = _apply_perm_rank_matmul
         alg["compose"] = _compose_rank_matmul
         return alg
     return _RANK_ALGEBRA
@@ -934,7 +956,37 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
     return fn
 
 
-def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None):
+def _transform_lnb(beta, roll_rows=None):
+    """Final butterfly ``u = β·G`` per path on ``[L, N, B]`` int8 planes in
+    bit-reversed storage (the transform commutes with simultaneous
+    row+column bit-reversal — see ``ops/sc_mega_pallas._polar_transform_nb``;
+    callers un-permute rows once at the JAX level).  Flat-2D forms; the
+    small-block stages (m ≤ 8) pair partners with ONE sublane roll + a
+    static parity select instead of padded-slab reshapes (lower rows pass
+    through unchanged, so only the upper-half XOR needs the partner).
+    Pure XOR — bit-exact by construction."""
+    L, N, B = beta.shape
+    x = beta.reshape(L * N, B)
+    R = L * N
+    iota = None
+    s = 1
+    while s < N:
+        m = 2 * s
+        if roll_rows is not None and m <= 8 and R >= 8:
+            if iota is None:
+                iota = lax.broadcasted_iota(jnp.int32, (R, B), 0)
+            upper = (iota & (m - 1)) < s
+            x = jnp.where(upper, x ^ roll_rows(x, -s), x)
+        else:
+            x3 = x.reshape(R // m, m, B)
+            up = x3[:, :s] ^ x3[:, s:]
+            x = jnp.concatenate([up, x3[:, s:]], axis=1).reshape(R, B)
+        s *= 2
+    return x.reshape(L, N, B)
+
+
+def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None,
+                  transform: bool = False):
     """The LAST chunk (c = C−1 = 0b11…1) as a pure function: descend is a
     single g at level t (ctz(C−1) = 0), then ascend through every level to
     the root — no parking, the chunk's R composes into each level's
@@ -943,13 +995,19 @@ def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None):
     ``fn(llr_nb, alpha, pend_a, beta, pend_b, pm) → (root_beta [L, N, B]
     int8 bit-reversed storage, pm)``.  Same algebra-parameterization deal
     as ``_make_super_fn`` (XLA broadcast forms vs in-kernel static loops,
-    bit-exact either way)."""
+    bit-exact either way).
+
+    ``transform=True`` additionally runs the final butterfly ``u = β·G``
+    (``_transform_lnb``) so the returned plane is the decoded u in
+    bit-reversed storage — the kernel controls fuse it here (VMEM XORs)
+    instead of paying the [B, L, N] XLA butterfly's HBM round-trips."""
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
     apply_perm = algebra["apply_perm"]
     apply_perm_bits = algebra["apply_perm_bits"]
     compose = algebra["compose"]
     broadcast_rows = algebra["broadcast_rows"]
+    roll_rows = algebra.get("roll_rows")
 
     def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
         M = sizes[t]
@@ -965,6 +1023,8 @@ def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None):
             left_bits = apply_perm_bits(compose(R, pend_b[l - 1]),
                                         beta[l - 1])
             cur = jnp.concatenate([left_bits ^ cur, cur], axis=1)
+        if transform:
+            cur = _transform_lnb(cur, roll_rows)
         return cur, pm
 
     return fn
@@ -1109,6 +1169,12 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         """[L, N, B] bit-rev β + [L, B] metrics → public [B, L, N]/[B, L]."""
         beta_nat = jnp.transpose(root_bits_lnb, (2, 0, 1))[..., rev_j]
         return polar_transform(beta_nat), jnp.transpose(pm_lb, (1, 0))
+
+    def _finish_u(u_lnb, pm_lb):
+        """Like ``_finish`` but the butterfly already ran (fused into the
+        last chunk kernel): just un-permute rows + batch-first."""
+        u_nat = jnp.transpose(u_lnb, (2, 0, 1))[..., rev_j]
+        return u_nat, jnp.transpose(pm_lb, (1, 0))
 
     def _init_pm(batch):
         pm = jnp.full((Lsz, batch), _NEG_INF, dtype)
@@ -1424,6 +1490,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # descend is a single g at level t (ctz(C−1) = 0); ascend runs to
         # the root.  Kernel control modes fuse the whole step into one
         # Pallas kernel like the in-scan chunks.
+        last_transformed = False
         if control_impl in ("kernel", "kernel-interpret", "unroll-kernel"):
             from ...ops.scl_superchunk_pallas import (
                 VMEM_OPERAND_BUDGET,
@@ -1438,19 +1505,25 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                                         bodies[pattern_ids[C - 1]],
                                         algebra=alg_x)
             else:
+                # fuse the final butterfly u = β·G into the kernel (pure
+                # XORs on the VMEM-resident plane) instead of a [B, L, N]
+                # XLA pass over HBM
+                last_transformed = True
                 last_fn = make_last_superchunk_pallas(
                     unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
                     leaf_impl=leaf_impl, batch_tile=batch_tile,
                     interpret=control_impl == "kernel-interpret",
-                    perm_impl=perm_impl, node_mode=node_mode)
+                    perm_impl=perm_impl, node_mode=node_mode,
+                    transform=True)
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,
                                     bodies[pattern_ids[C - 1]],
                                     algebra=alg_x)
         cur, pm = last_fn(llr_nb, carry["alpha"], carry["pend_a"],
                           carry["beta"], carry["pend_b"], carry["pm"])
-        # root beta is the re-encoded codeword in bit-reversed storage;
-        # un-permute, then u = β·G_N (the transform is an involution)
-        return _finish(cur, pm)
+        # root plane is in bit-reversed storage: either β (un-permute
+        # rows, then u = β·G_N at the XLA level — the transform is an
+        # involution) or the already-transformed u from the fused kernel
+        return (_finish_u if last_transformed else _finish)(cur, pm)
 
     return decode

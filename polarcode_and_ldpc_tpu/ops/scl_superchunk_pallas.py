@@ -264,9 +264,12 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
                                 batch_tile: int = 128,
                                 interpret: bool = False,
                                 perm_impl: str = "onehot",
-                                node_mode: str = "exact"):
+                                node_mode: str = "exact",
+                                transform: bool = False):
     """Fused LAST chunk (``scanscl._make_last_fn``): one kernel produces
-    the full root beta plane ``[L, N, B] int8`` + final metrics."""
+    the full root beta plane ``[L, N, B] int8`` + final metrics.
+    ``transform=True`` also fuses the final butterfly ``u = β·G`` into the
+    kernel (VMEM XORs; the plane returned is u in bit-reversed storage)."""
     flags = np.asarray(flags, bool)
     assert perm_impl in ("onehot", "rank"), perm_impl
     rank = perm_impl == "rank"
@@ -279,12 +282,13 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
         node_mode=node_mode)
     last_kernel_fn = _make_last_fn(
         t, sizes, Lsz, dtype, body_kernel,
-        algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA)
+        algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA,
+        transform=transform)
     xla_algebra = rank_algebra_for(Lsz) if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
                                 algebra=xla_algebra, node_mode=node_mode)
     last_xla_fn = _make_last_fn(t, sizes, Lsz, dtype, body_xla,
-                                algebra=xla_algebra)
+                                algebra=xla_algebra, transform=transform)
 
     needs_llr = t == 1
     in_plan = ([("llr", None)] if needs_llr else [("alpha", t - 2)]) \
