@@ -960,29 +960,47 @@ def _transform_lnb(beta, roll_rows=None):
     """Final butterfly ``u = β·G`` per path on ``[L, N, B]`` int8 planes in
     bit-reversed storage (the transform commutes with simultaneous
     row+column bit-reversal — see ``ops/sc_mega_pallas._polar_transform_nb``;
-    callers un-permute rows once at the JAX level).  Flat-2D forms; the
-    small-block stages (m ≤ 8) pair partners with ONE sublane roll + a
-    static parity select instead of padded-slab reshapes (lower rows pass
-    through unchanged, so only the upper-half XOR needs the partner).
-    Pure XOR — bit-exact by construction."""
+    callers un-permute rows once at the JAX level).
+
+    The L path planes pack into bit-fields of ONE int32 ``[N, B]`` plane
+    first (the butterfly is independent per path and pure XOR, which
+    commutes with packing bitwise), so every stage moves L× less data.
+    Small stages (m ≤ 8) pair partners with one int32 sublane roll + a
+    static parity select — int8 rolls silently abort the TPU compiler
+    (measured r4), int32 rolls are hardware-validated.  Bit-exact by
+    construction (integer ops only)."""
     L, N, B = beta.shape
-    x = beta.reshape(L * N, B)
-    R = L * N
+    if L > 32:  # packing needs one int32 bit-field per path
+        x = beta.reshape(L * N, B)
+        R = L * N
+        s = 1
+        while s < N:
+            m = 2 * s
+            x3 = x.reshape(R // m, m, B)
+            up = x3[:, :s] ^ x3[:, s:]
+            x = jnp.concatenate([up, x3[:, s:]], axis=1).reshape(R, B)
+            s *= 2
+        return x.reshape(L, N, B)
+    x = beta[0].astype(jnp.int32)
+    for l in range(1, L):
+        x = x | (beta[l].astype(jnp.int32) << l)
     iota = None
     s = 1
     while s < N:
         m = 2 * s
-        if roll_rows is not None and m <= 8 and R >= 8:
+        if roll_rows is not None and m <= 8 and N >= 8:
             if iota is None:
-                iota = lax.broadcasted_iota(jnp.int32, (R, B), 0)
+                iota = lax.broadcasted_iota(jnp.int32, (N, B), 0)
             upper = (iota & (m - 1)) < s
             x = jnp.where(upper, x ^ roll_rows(x, -s), x)
         else:
-            x3 = x.reshape(R // m, m, B)
+            x3 = x.reshape(N // m, m, B)
             up = x3[:, :s] ^ x3[:, s:]
-            x = jnp.concatenate([up, x3[:, s:]], axis=1).reshape(R, B)
+            x = jnp.concatenate([up, x3[:, s:]], axis=1).reshape(N, B)
         s *= 2
-    return x.reshape(L, N, B)
+    # unpack: arithmetic >> is safe under the & 1 (static shifts)
+    rows = [(jnp.right_shift(x, l) & 1) for l in range(L)]
+    return jnp.stack(rows, axis=0).astype(jnp.int8)
 
 
 def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None,
@@ -1227,6 +1245,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     # schedule) so the [L, N, B] root assembly never lives in the scan carry
     assert control_impl in ("split", "fused", "kernel", "kernel-interpret",
                             "unroll-fused", "unroll-kernel",
+                            "unroll-kernel-interpret",
                             "mega", "mega-interpret"), control_impl
     mega_core = None
     if control_impl in ("mega", "mega-interpret"):
@@ -1409,12 +1428,17 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
                 def _super_branch(tr):
                     sel, pid, j, ca, cb = tr
+                    # slim invariant alpha writes need straight-line
+                    # dataflow (a scan carry would materialize the lazy
+                    # re-broadcast every step)
+                    slim = control_impl.startswith("unroll")
                     # hybrid control: variants whose operand footprint
                     # exceeds the VMEM budget (tall ascends at large N·L)
                     # run the bit-identical fused-XLA program instead
                     if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
                                          batch_tile, compose_a=ca,
-                                         compose_b=cb, perm_impl=perm_impl)
+                                         compose_b=cb, perm_impl=perm_impl,
+                                         slim_writes=slim)
                             > VMEM_OPERAND_BUDGET):
                         fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
                                             bodies[pid], algebra=alg_x,
@@ -1423,9 +1447,10 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                         fn = make_superchunk_pallas(
                             sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
                             leaf_impl=leaf_impl, batch_tile=batch_tile,
-                            interpret=control_impl == "kernel-interpret",
+                            interpret=control_impl.endswith("-interpret"),
                             compose_a=ca, compose_b=cb,
-                            perm_impl=perm_impl, node_mode=node_mode)
+                            perm_impl=perm_impl, node_mode=node_mode,
+                            slim_writes=slim)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -1491,7 +1516,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # the root.  Kernel control modes fuse the whole step into one
         # Pallas kernel like the in-scan chunks.
         last_transformed = False
-        if control_impl in ("kernel", "kernel-interpret", "unroll-kernel"):
+        if control_impl in ("kernel", "kernel-interpret", "unroll-kernel",
+                            "unroll-kernel-interpret"):
             from ...ops.scl_superchunk_pallas import (
                 VMEM_OPERAND_BUDGET,
                 last_vmem_bytes,
@@ -1512,7 +1538,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 last_fn = make_last_superchunk_pallas(
                     unique_flags[pattern_ids[C - 1]], t, sizes, Lsz, dtype,
                     leaf_impl=leaf_impl, batch_tile=batch_tile,
-                    interpret=control_impl == "kernel-interpret",
+                    interpret=control_impl.endswith("-interpret"),
                     perm_impl=perm_impl, node_mode=node_mode,
                     transform=True)
         else:

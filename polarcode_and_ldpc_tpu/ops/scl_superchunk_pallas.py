@@ -57,9 +57,41 @@ def _pend_bytes(Lsz: int, batch_tile: int, dtype, perm_impl: str) -> int:
     return Lsz * Lsz * batch_tile * jnp.dtype(dtype).itemsize
 
 
+def _slim_alpha_plans(sel: int, j: int, t: int, touch, Lsz: int,
+                      slim_writes: bool):
+    """State-DMA elision plan for one variant's alpha I/O (round 4):
+
+    * the level-t alpha (index t−1) is written by EVERY descend but only
+      ever consumed by the chunk body INSIDE the same kernel — no later
+      schedule event reads it (``alpha_read`` is ``lo−2 ≤ t−2``), so its
+      state write is dead across kernels and is elided;
+    * invariant-parent variants read only ``alpha[lo−2][:1]`` (the level
+      is still chunk-0's path-invariant broadcast) — the kernel takes a
+      1-slab operand instead of the full L-plane;
+    * chunk 0 (sel = t) writes path-invariant planes: with
+      ``slim_writes`` the kernel emits ``[1, M, B]`` and the JAX wrapper
+      re-broadcasts lazily (valid for the straight-line unroll controls,
+      where every reader of a chunk-0-written value is an invariant
+      ``[:1]`` read — the broadcast never materializes).
+
+    Returns ``(read_plan, write_plan)`` as lists of (kind, level) with
+    kind ∈ {"alpha", "alpha_slim"}.
+    """
+    from ..models.polar.scanscl import decode_selector
+
+    k, inv = decode_selector(sel, t)
+    reads = [("alpha_slim" if inv else "alpha", i)
+             for i in touch["alpha_read"]]
+    slim_w = slim_writes and k == t
+    writes = [("alpha_slim" if slim_w else "alpha", i)
+              for i in touch["alpha_write"] if i != t - 1]
+    return reads, writes
+
+
 def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
                      batch_tile: int = 128, compose_a=None,
-                     compose_b=None, perm_impl: str = "onehot") -> int:
+                     compose_b=None, perm_impl: str = "onehot",
+                     slim_writes: bool = False) -> int:
     """Declared operand bytes (inputs + outputs) of one chunk-step
     superkernel variant at the given batch tile.  With live-compose masks
     (``scanscl.pend_liveness``) only the composed/read pendings ride
@@ -68,8 +100,11 @@ def super_vmem_bytes(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     fsz = jnp.dtype(dtype).itemsize
     total = sizes[0] * batch_tile * fsz if touch["needs_llr"] else 0
-    for i in touch["alpha_read"] + touch["alpha_write"]:
-        total += Lsz * sizes[i + 1] * batch_tile * fsz
+    a_reads, a_writes = _slim_alpha_plans(sel, j, t, touch, Lsz,
+                                          slim_writes)
+    for kind, i in a_reads + a_writes:
+        rows = 1 if kind == "alpha_slim" else Lsz
+        total += rows * sizes[i + 1] * batch_tile * fsz
     for i in touch["beta_read"] + touch["beta_write"]:
         total += Lsz * sizes[i + 1] * batch_tile  # int8
     n_pend = (len(touch["pend_a_in"]) + len(touch["pend_a_out"])
@@ -128,7 +163,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                            batch_tile: int = 128, interpret: bool = False,
                            compose_a=None, compose_b=None,
                            perm_impl: str = "onehot",
-                           node_mode: str = "exact"):
+                           node_mode: str = "exact",
+                           slim_writes: bool = False):
     """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
 
     Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
@@ -148,7 +184,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     assert node_mode == "exact" or rank, \
         "in-kernel node_mode='fast' requires perm_impl='rank'"
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
-    a_read, a_write = touch["alpha_read"], touch["alpha_write"]
+    a_reads, a_writes = _slim_alpha_plans(sel, j, t, touch, Lsz,
+                                          slim_writes)
     b_read, b_write = touch["beta_read"], touch["beta_write"]
     needs_llr = touch["needs_llr"]
     N = sizes[0]
@@ -171,12 +208,12 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
 
     # static operand schedule: (kind, level-index) in kernel-ref order
     in_plan = ([("llr", None)] if needs_llr else []) \
-        + [("alpha", i) for i in a_read] \
+        + a_reads \
         + [("pend_a", i) for i in touch["pend_a_in"]] \
         + [("beta", i) for i in b_read] \
         + [("pend_b", i) for i in touch["pend_b_in"]] \
         + [("pm", None)]
-    out_plan = [("alpha", i) for i in a_write] \
+    out_plan = a_writes \
         + [("pend_a", i) for i in touch["pend_a_out"]] \
         + [("beta", i) for i in b_write] \
         + [("pend_b", i) for i in touch["pend_b_out"]] \
@@ -188,6 +225,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
             return (N, B), dtype
         if kind == "alpha":
             return (Lsz, sizes[i + 1], B), dtype
+        if kind == "alpha_slim":  # invariant planes: one path slab
+            return (1, sizes[i + 1], B), dtype
         if kind == "beta":
             return (Lsz, sizes[i + 1], B), jnp.int8
         if kind == "pm":
@@ -207,7 +246,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     def kernel(*refs):
         ins, outs = refs[:len(in_plan)], refs[len(in_plan):]
         vals = {key: r[:] for key, r in zip(in_plan, ins)}
-        alpha = [vals.get(("alpha", i)) for i in range(t)]
+        alpha = [vals.get(("alpha", i), vals.get(("alpha_slim", i)))
+                 for i in range(t)]
         beta = [vals.get(("beta", i)) for i in range(t)]
         pend_a = [vals.get(("pend_a", i)) for i in range(t)]
         pend_b = [vals.get(("pend_b", i)) for i in range(t)]
@@ -215,10 +255,15 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         pm = vals[("pm", None)]
         alpha2, pend_a2, beta2, pend_b2, pm2 = super_kernel_fn(
             llr, alpha, pend_a, beta, pend_b, pm)
-        result = {"alpha": alpha2, "pend_a": pend_a2, "beta": beta2,
-                  "pend_b": pend_b2}
+        result = {"alpha": alpha2, "alpha_slim": alpha2, "pend_a": pend_a2,
+                  "beta": beta2, "pend_b": pend_b2}
         for (kind, i), r in zip(out_plan, outs):
-            r[:] = pm2 if kind == "pm" else result[kind][i]
+            if kind == "pm":
+                r[:] = pm2
+            elif kind == "alpha_slim":  # invariant plane: one slab
+                r[:] = result[kind][i][:1]
+            else:
+                r[:] = result[kind][i]
 
     def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
         B = pm.shape[-1]
@@ -228,7 +273,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                 "pend_a": dict(enumerate(pend_a)),
                 "beta": dict(enumerate(beta)),
                 "pend_b": dict(enumerate(pend_b)), "pm": {None: pm}}
-        operands = [full[kind][i] for kind, i in in_plan]
+        operands = [full["alpha"][i][:1] if kind == "alpha_slim"
+                    else full[kind][i] for kind, i in in_plan]
         outs = pl.pallas_call(
             kernel,
             grid=(B // batch_tile,),
@@ -241,7 +287,14 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         )(*operands)
         new = {k: dict(v) for k, v in full.items()}
         for (kind, i), o in zip(out_plan, outs):
-            new[kind][i] = o
+            if kind == "alpha_slim":
+                # path-invariant plane: lazy re-broadcast — readers are
+                # invariant [:1] slices, so this never materializes in
+                # the straight-line controls
+                new["alpha"][i] = jnp.broadcast_to(
+                    o, (Lsz,) + o.shape[1:])
+            else:
+                new[kind][i] = o
         # reset-only pendings never enter the kernel: their final value is
         # the identity, written here as a free JAX-level broadcast
         if eye_a or eye_b:

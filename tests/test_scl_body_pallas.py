@@ -119,6 +119,32 @@ def test_superchunk_kernel_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))
 
 
+def test_superchunk_unroll_slim_state_bit_identical(rng):
+    # the straight-line unroll-kernel control elides dead alpha state
+    # writes, slims invariant-parent reads to one slab, and emits chunk
+    # 0's path-invariant planes as [1, M, B] with a lazy re-broadcast —
+    # plus the fused last-chunk butterfly.  All of it must stay
+    # bit-identical to the fused XLA control (interpret mode on CPU)
+    import polarcode_and_ldpc_tpu as fec
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+
+    N, K, L, S = 256, 128, 4, 32  # C = 8 chunks: exercises invariants
+    fm = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = (rng.standard_normal((128, N)) * 1.5).astype(np.float32)
+    llr[0, :3] = 0.0
+    d_x = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="unroll-fused"))
+    d_k = jax.jit(make_scl_decoder_scan(N, fm, L, chunk=S,
+                                        control_impl="unroll-kernel-interpret"))
+    u_x, m_x = d_x(llr)
+    u_k, m_k = d_k(llr)
+    np.testing.assert_array_equal(np.asarray(u_x), np.asarray(u_k))
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))
+
+
 def test_superchunk_hybrid_vmem_gate(rng, monkeypatch):
     # kernel control modes gate each variant on its declared VMEM
     # footprint and fall back to the bit-identical fused-XLA program —
