@@ -65,3 +65,26 @@ def test_sc_all_zero_codeword():
     llr = np.full((4, N), 50.0)  # strongly bit-0 everywhere
     out = np.asarray(dec.decode(llr))
     assert (out == 0).all()
+
+
+def test_f_minsum_bitlevel_form_exact(rng):
+    # f_minsum's bit-level form (sign bit = XOR of operand sign bits,
+    # or'd onto min(|a|,|b|)) must be bitwise identical to the reference
+    # two-sign-multiplies form for every finite input, including +-0 and
+    # subnormals (no product is formed, so nothing underflows)
+    from polarcode_and_ldpc_tpu.models.polar.trellis import f_minsum
+
+    def f_ref(a, b):
+        return jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a),
+                                                       jnp.abs(b))
+
+    for dt, it in ((np.float32, np.int32), (np.float64, np.int64)):
+        vals = np.concatenate([
+            rng.standard_normal(300),
+            [0.0, -0.0, 1e-40, -1e-40, 37.5, -37.5, 2.5, -2.5],
+        ]).astype(dt)
+        a = np.repeat(vals, len(vals)).astype(dt)
+        b = np.tile(vals, len(vals)).astype(dt)
+        old = np.asarray(f_ref(jnp.asarray(a), jnp.asarray(b)))
+        new = np.asarray(f_minsum(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(old.view(it), new.view(it))
