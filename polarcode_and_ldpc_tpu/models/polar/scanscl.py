@@ -565,6 +565,14 @@ def _apply_perm_rank_matmul(r, x):
     if x.shape[1] < int(_os.environ.get("FEC_RANK_MATMUL_MIN_M", "0")):
         return _apply_perm_rank(r, x)  # narrow planes: transposes dominate
     J = x.shape[0]
+    # non-float payloads ride an f32 cast: exact only below 2^24.  Every
+    # integer plane this path can see is int8/int16 (beta bit planes take
+    # the packed-shift form; rank vectors never ride apply_perm) — reject
+    # wider integer dtypes statically rather than corrupt silently.
+    assert (jnp.issubdtype(x.dtype, jnp.floating)
+            or jnp.dtype(x.dtype).itemsize <= 2), (
+        f"matmul rank apply: integer payload {x.dtype} may exceed 2^24 "
+        f"and would corrupt through the f32 cast — use the select-sum form")
     xf = (x if jnp.issubdtype(x.dtype, jnp.floating)
           else x.astype(jnp.float32))
     P = (r[:, None, :] == lax.broadcasted_iota(

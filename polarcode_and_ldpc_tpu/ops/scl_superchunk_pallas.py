@@ -80,6 +80,13 @@ def _slim_alpha_plans(sel: int, j: int, t: int, touch, Lsz: int,
     from ..models.polar.scanscl import decode_selector
 
     k, inv = decode_selector(sel, t)
+    # the level-t elision below is unconditional (all kernel controls):
+    # check the schedule invariant it relies on structurally — no variant
+    # may read alpha[t-1] across kernels (descend reads are lo-2 <= t-2)
+    assert (t - 1) not in touch["alpha_read"], (
+        f"variant (sel={sel}, j={j}, t={t}) reads the level-t alpha "
+        f"across kernels — the unconditional state-write elision would "
+        f"feed it stale state")
     reads = [("alpha_slim" if inv else "alpha", i)
              for i in touch["alpha_read"]]
     slim_w = slim_writes and k == t

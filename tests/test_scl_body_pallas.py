@@ -420,3 +420,23 @@ def test_rank_matmul_apply_large_list(rng):
     _, rm, rp = scl_decode_np(llr[1], mask, L)
     np.testing.assert_allclose(np.asarray(m_m)[1], rm, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(u_m)[1], rp)
+
+
+@pytest.mark.parametrize("L", [4, 64])
+def test_transform_lnb_wide_list(rng, L):
+    # the final-butterfly helper has two branches: bit-packed (L <= 32,
+    # the shipped kernel path) and per-path unpacked (L > 32, reachable
+    # only by hypothetical wide-list callers).  Both must equal the public
+    # polar_transform under the storage convention (bit-reversed rows;
+    # callers un-permute at the JAX level) — ADVICE r4 #3 coverage.
+    from polarcode_and_ldpc_tpu.models.polar.encoder import polar_transform
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import _transform_lnb
+
+    N, B = 32, 5
+    rev = np.asarray(bit_reverse_permutation(N))
+    beta_lnb = jnp.asarray(rng.integers(0, 2, (L, N, B)), jnp.int8)
+    out = np.asarray(_transform_lnb(beta_lnb))           # [L, N, B]
+    u_nat = np.transpose(out, (2, 0, 1))[..., rev]       # [B, L, N]
+    beta_nat = np.transpose(np.asarray(beta_lnb), (2, 0, 1))[..., rev]
+    expect = np.asarray(polar_transform(jnp.asarray(beta_nat)))
+    np.testing.assert_array_equal(u_nat, expect)

@@ -61,6 +61,18 @@ def main() -> None:
                          "closest to 3e-3 within [5e-4, 3e-2] replaces "
                          "--polar-snr so the million-frame run exercises "
                          "real early-stop accounting in the waterfall")
+    ap.add_argument("--ldpc-decoder", default="bp", choices=["bp", "nms"])
+    ap.add_argument("--ldpc-schedule", default="flooding",
+                    choices=["flooding", "layered"],
+                    help="layered = the serving schedule (min-sum only; "
+                         "~2x fewer iterations at waterfall SNRs — "
+                         "results/tpu/ldpc_layered.json)")
+    ap.add_argument("--ldpc-normalization", type=float, default=0.75)
+    ap.add_argument("--ldpc-parity-frames", type=int, default=0,
+                    help="run a PAIRED flooding-vs-layered NMS error-rate "
+                         "comparison over this many frames first (same "
+                         "global frame ids → identical messages/noise), "
+                         "writing Wilson-CI FERs per schedule")
     ap.add_argument("--skip-ldpc", action="store_true")
     ap.add_argument("--skip-polar", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -144,14 +156,58 @@ def main() -> None:
         H = fec.qc_expand(base, z)
         enc = fec.LDPCEncoder(n, k, H=H)
         t_constr = time.perf_counter() - t0
-        step = make_ldpc_pipeline(enc.H, enc.G, None, decoder="bp",
-                                  max_iter=20,
-                                  message_idx=enc.info_positions,
-                                  qc_base=base, z=z)
-        sim = MonteCarloSimulator(step, enc.k, chunk_frames=args.ldpc_chunk,
-                                  chunks_per_dispatch=args.ldpc_cpd)
-        _log(f"ldpc QC-BP n={n}: {args.frames} frames @{args.ldpc_snr} dB, "
-             f"chunk {args.ldpc_chunk} x{args.ldpc_cpd} (compiling) ...")
+
+        def _ldpc_sim(decoder, schedule):
+            step = make_ldpc_pipeline(
+                enc.H, enc.G, None, decoder=decoder, max_iter=20,
+                normalization=(args.ldpc_normalization if decoder == "nms"
+                               else 1.0),
+                message_idx=enc.info_positions, qc_base=base, z=z,
+                schedule=schedule)
+            return MonteCarloSimulator(step, enc.k,
+                                       chunk_frames=args.ldpc_chunk,
+                                       chunks_per_dispatch=args.ldpc_cpd)
+
+        if args.ldpc_parity_frames:
+            # PAIRED schedules comparison: same seed + same global frame
+            # ids → bit-identical messages and noise for both decoders,
+            # so any FER gap is the schedule's, not sampling noise.
+            from polarcode_and_ldpc_tpu.utils.metrics import (
+                wilson_confidence_interval,
+            )
+
+            parity = {"frames": args.ldpc_parity_frames,
+                      "snr_db": args.ldpc_snr, "decoder": "nms",
+                      "normalization": args.ldpc_normalization,
+                      "paired_noise": True}
+            for sched in ("flooding", "layered"):
+                simp = _ldpc_sim("nms", sched)
+                _log(f"ldpc parity [{sched}]: compiling ...")
+                simp.run(2 * args.ldpc_chunk * args.ldpc_cpd, seed=0,
+                         extra_args=(jnp.float32(args.ldpc_snr),))
+                r = simp.run(args.ldpc_parity_frames, seed=0,
+                             extra_args=(jnp.float32(args.ldpc_snr),))
+                lo, hi = wilson_confidence_interval(
+                    r.frame_errors, r.frames)
+                parity[sched] = {
+                    "frames": r.frames, "frame_errors": r.frame_errors,
+                    "fer": r.frame_errors / max(r.frames, 1),
+                    "fer_wilson_95": [lo, hi],
+                    "ber": r.to_dict()["ber"],
+                    "avg_iterations": r.to_dict()["avg_iterations"],
+                }
+                _log(f"ldpc parity [{sched}]: FER "
+                     f"{parity[sched]['fer']:.3e} "
+                     f"[{lo:.3e}, {hi:.3e}], avg iters "
+                     f"{parity[sched]['avg_iterations']:.2f}")
+            out["ldpc_n8192_schedule_parity"] = parity
+
+        sched = args.ldpc_schedule
+        dec_name = args.ldpc_decoder
+        sim = _ldpc_sim(dec_name, sched)
+        _log(f"ldpc QC-{dec_name}/{sched} n={n}: {args.frames} frames "
+             f"@{args.ldpc_snr} dB, chunk {args.ldpc_chunk} "
+             f"x{args.ldpc_cpd} (compiling) ...")
         t0 = time.perf_counter()
         sim.run(2 * args.ldpc_chunk * args.ldpc_cpd, seed=0,
                 extra_args=(jnp.float32(args.ldpc_snr),))
@@ -163,9 +219,13 @@ def main() -> None:
         d = res.to_dict()
         d.update(wall_seconds_post_warmup=wall, snr_db=args.ldpc_snr,
                  construction_seconds=t_constr,
+                 schedule=sched, decoder=dec_name,
                  chunk_frames=args.ldpc_chunk,
                  chunks_per_dispatch=args.ldpc_cpd)
-        out["ldpc_qcbp_n8192_1M"] = d
+        key = ("ldpc_qcbp_n8192_1M" if (dec_name, sched) ==
+               ("bp", "flooding")
+               else f"ldpc_qc{dec_name}_{sched}_n8192_1M")
+        out[key] = d
         _log(f"ldpc: {d['throughput_mbps']:.1f} Mbps end-to-end, "
              f"BER {d['ber']:.2e} FER {d['fer']:.2e}, "
              f"avg iters {d['avg_iterations']:.2f}")

@@ -33,6 +33,7 @@ def main() -> None:
                              "unroll-kernel", "kernel"])
     ap.add_argument("--perm", default="rank", choices=["onehot", "rank"])
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
+    ap.add_argument("--mask-dedup", default="exact", choices=["exact", "union"])
     ap.add_argument("--masks", default="all_frozen,all_info,real_rate_half")
     args = ap.parse_args()
     import jax
@@ -65,7 +66,8 @@ def main() -> None:
                                             body_impl=args.body,
                                             control_impl=args.control,
                                             perm_impl=args.perm,
-                                            leaf_impl=args.leaf))
+                                            leaf_impl=args.leaf,
+                                            mask_dedup=args.mask_dedup))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0

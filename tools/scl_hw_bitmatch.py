@@ -25,6 +25,12 @@ def main() -> int:
     ap.add_argument("--L", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--matmul-min-l", type=int, default=0,
+                    help="also check the MXU one-hot-matmul rank apply "
+                         "(FEC_RANK_MATMUL_MIN_L=<v> while building a "
+                         "third, unroll-fused/xla decoder) — the hardware "
+                         "gate for the bf16-split einsum exactness claim "
+                         "(ADVICE r4 #1)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     import jax
@@ -48,25 +54,47 @@ def main() -> int:
     llr_np[0, :5] = 0.0  # tie stress
     llr = jnp.asarray(llr_np)
 
-    outs = {}
-    for name, kw in (
+    configs = [
         ("unroll-kernel/rank", dict(control_impl="unroll-kernel",
-                                    perm_impl="rank", body_impl="pallas")),
+                                    perm_impl="rank", body_impl="pallas"), {}),
         ("split/onehot", dict(control_impl="split", perm_impl="onehot",
-                              body_impl="xla")),
-    ):
-        dec = jax.jit(make_scl_decoder_scan(args.N, mask, args.L,
-                                            chunk=args.chunk, **kw))
+                              body_impl="xla"), {}),
+    ]
+    if args.matmul_min_l:
+        configs.append(
+            ("unroll-fused/rank-matmul",
+             dict(control_impl="unroll-fused", perm_impl="rank",
+                  body_impl="xla"),
+             {"FEC_RANK_MATMUL_MIN_L": str(args.matmul_min_l)}))
+    outs = {}
+    for name, kw, env in configs:
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            dec = jax.jit(make_scl_decoder_scan(args.N, mask, args.L,
+                                                chunk=args.chunk, **kw))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         t0 = time.time()
         u, m = dec(llr)
         u, m = np.asarray(u), np.asarray(m)
         print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
         outs[name] = (u, m)
-    a, b = outs["unroll-kernel/rank"], outs["split/onehot"]
-    bits_ok = bool((a[0] == b[0]).all())
-    pm_ok = bool((a[1] == b[1]).all())
-    print(f"hardware bit-match: bits={bits_ok} metrics={pm_ok}", flush=True)
-    return 0 if bits_ok and pm_ok else 1
+    ref = outs["split/onehot"]
+    ok = True
+    for name, (u, m) in outs.items():
+        if name == "split/onehot":
+            continue
+        bits_ok = bool((u == ref[0]).all())
+        pm_ok = bool((m == ref[1]).all())
+        ok = ok and bits_ok and pm_ok
+        print(f"hardware bit-match [{name}]: bits={bits_ok} "
+              f"metrics={pm_ok}", flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
