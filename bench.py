@@ -241,7 +241,18 @@ def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16,
     t_first = time.perf_counter()
     errs = jax.block_until_ready(scan_decode(llr3, msgs3))
     _log(f"ldpc: compile+first run {time.perf_counter() - t_first:.1f}s")
-    t = _time_steady_state(scan_decode, llr3, msgs3, iters=3)
+    # best of TWO time-separated steady measurements: the r3→r4 bench
+    # lines spread ±4% on this stage with no code change (tunnel
+    # contention operates on minute scales, inside which best-of-3 sits
+    # entirely) — the second pass plus max() makes real regressions
+    # distinguishable from tunnel noise (VERDICT r4 item 7)
+    t_a = _time_steady_state(scan_decode, llr3, msgs3, iters=3)
+    t_b = _time_steady_state(scan_decode, llr3, msgs3, warmup=0, iters=3)
+    t = min(t_a, t_b)
+    spread = abs(t_a - t_b) / t
+    if spread > 0.02:
+        _log(f"ldpc: steady-state passes spread {spread:.1%} "
+             f"({t_a * 1e3:.2f} vs {t_b * 1e3:.2f} ms) — tunnel noise")
     mbps = nb * enc.k / t / 1e6
     ber = float(np.asarray(errs)) / (nb * enc.k)
     ops = ldpc_complexity(n, k, 3, 6, 20)["bp_decoding"]["operations"]
@@ -249,6 +260,7 @@ def bench_ldpc_bp(batch: int = 4096, scan_chunks: int = 16,
     _log(f"ldpc: {mbps:.1f} Mbps, BER@3dB {ber:.2e}")
     return {"mbps": mbps, "seconds_per_batch": t, "batch": batch,
             "scan_chunks": scan_chunks, "bp_impl": dec.impl,
+            "steady_spread": round(spread, 4),
             "ber_3db": ber, "roofline": roof}
 
 
@@ -333,6 +345,7 @@ def main() -> None:
         ldpc_vs_baseline=round(ldpc["mbps"] / BASELINE_BP_N504_MBPS, 1),
         ldpc_ber_3db=ldpc["ber_3db"],
         ldpc_mfu_estimate=round(ldpc["roofline"]["mfu_vs_bf16_peak"], 6),
+        ldpc_steady_spread=ldpc["steady_spread"],
     )
     print(json.dumps(result), flush=True)
     # cheap informational stage: layered (serving-schedule) NMS — the

@@ -1180,7 +1180,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
 
         bodies = [make_chunk_body_pallas(f, Lsz, dtype, leaf_impl=leaf_impl,
                                          perm_impl=perm_impl,
-                                         node_mode=node_mode)
+                                         node_mode=node_mode,
+                                         batch_tile=batch_tile)
                   for f in unique_flags]
     else:
         assert body_impl == "xla", body_impl

@@ -126,7 +126,9 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
                   chunk: int = 64, body: str = "xla",
                   leaf: str = "onehot", control: str = "split",
                   node_mode: str = "exact",
-                  mask_dedup: str = "exact") -> dict:
+                  mask_dedup: str = "exact",
+                  batch_tile: int = 128,
+                  scan_chunks: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -141,38 +143,73 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
     frozen, info = fec.construct_polar_code(N, K, "bhattacharyya", 2.0)
     fm = frozen_mask_from_positions(N, frozen)
     rng = np.random.default_rng(3)
-    msgs = rng.integers(0, 2, (batch, K)).astype(np.int8)
-    u = np.zeros((batch, N), np.int64)
+    nb = max(scan_chunks, 1) * batch
+    msgs = rng.integers(0, 2, (nb, K)).astype(np.int8)
+    u = np.zeros((nb, N), np.int64)
     u[:, info] = msgs
     s = 1
     while s < N:
-        u = u.reshape(batch, N // (2 * s), 2, s)
+        u = u.reshape(nb, N // (2 * s), 2, s)
         u[:, :, 0, :] ^= u[:, :, 1, :]
-        u = u.reshape(batch, N)
+        u = u.reshape(nb, N)
         s *= 2
-    llr = jnp.asarray(awgn_llr_np(u, snr_db, rng.standard_normal((batch, N)))
+    llr = jnp.asarray(awgn_llr_np(u, snr_db, rng.standard_normal((nb, N)))
                       .astype(np.float32))
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
                                    chunk=chunk, body_impl=body,
                                    leaf_impl=leaf, control_impl=control,
                                    node_mode=node_mode,
-                                   mask_dedup=mask_dedup))
-    _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}) ...")
-    t0 = time.perf_counter()
-    u_paths, metrics = jax.block_until_ready(dec(llr))
-    t_compile = time.perf_counter() - t0
-    _log(f"polar4096: compile+first {t_compile:.1f}s")
-    t = _steady(dec, llr, iters=3)
-    u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
-    best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info]
-    ber = float((best != msgs).mean())
-    fer = float((best != msgs).any(1).mean())
+                                   mask_dedup=mask_dedup,
+                                   batch_tile=batch_tile))
+    _log(f"polar4096: compiling SCL-{list_size} (chunk={chunk}"
+         + (f", x{scan_chunks} scan" if scan_chunks else "") + ") ...")
+    if scan_chunks:
+        # chained on-chip measurement with on-device error counting — the
+        # flagship headline's methodology (bench.bench_polar_scl8): the
+        # dispatch round-trip otherwise serializes with compute
+        from jax import lax
+
+        llr3 = llr.reshape(scan_chunks, batch, N)
+        msgs3 = jnp.asarray(msgs.reshape(scan_chunks, batch, K))
+        info_idx = jnp.asarray(info, jnp.int32)
+
+        @jax.jit
+        def scan_decode(llrs, m3):
+            def step(_, x):
+                up, m = dec(x["llr"])
+                sel = jnp.argmax(m, axis=1)
+                bst = jnp.take_along_axis(
+                    up, sel[:, None, None], axis=1)[:, 0, :]
+                diff = bst[:, info_idx] != x["msg"]
+                return None, (jnp.sum(diff, dtype=jnp.int32),
+                              jnp.sum(jnp.any(diff, axis=1),
+                                      dtype=jnp.int32))
+            return lax.scan(step, None, {"llr": llrs, "msg": m3})[1]
+
+        t0 = time.perf_counter()
+        be, fe = jax.block_until_ready(scan_decode(llr3, msgs3))
+        t_compile = time.perf_counter() - t0
+        _log(f"polar4096: compile+first {t_compile:.1f}s")
+        t = _steady(scan_decode, llr3, msgs3, iters=3) / scan_chunks
+        ber = float(np.asarray(be).sum()) / (nb * K)
+        fer = float(np.asarray(fe).sum()) / nb
+    else:
+        t0 = time.perf_counter()
+        u_paths, metrics = jax.block_until_ready(dec(llr))
+        t_compile = time.perf_counter() - t0
+        _log(f"polar4096: compile+first {t_compile:.1f}s")
+        t = _steady(dec, llr, iters=3)
+        u_np, m_np = np.asarray(u_paths), np.asarray(metrics)
+        best = u_np[np.arange(batch), np.argmax(m_np, axis=1)][:, info]
+        ber = float((best != msgs).mean())
+        fer = float((best != msgs).any(1).mean())
     return {
         "config": {"N": N, "K": K, "list_size": list_size, "decoder": "scl",
                    "impl": "scan-chunked", "chunk": chunk, "snr_db": snr_db,
                    "batch": batch, "body_impl": body, "leaf_impl": leaf,
                    "control_impl": control, "node_mode": node_mode,
-                   "mask_dedup": mask_dedup},
+                   "mask_dedup": mask_dedup, "batch_tile": batch_tile,
+                   "scan_chunks": scan_chunks},
         "compile_seconds": t_compile,
         "decode_seconds_per_batch": t,
         "decoded_info_mbps": batch * K / t / 1e6,
@@ -195,6 +232,11 @@ def main():
                              "unroll-kernel"])
     ap.add_argument("--node-mode", default="exact", choices=["exact", "fast"])
     ap.add_argument("--mask-dedup", default="exact", choices=["exact", "union"])
+    ap.add_argument("--batch-tile", type=int, default=128)
+    ap.add_argument("--scan-chunks", type=int, default=0,
+                    help="chain this many batches on-chip per dispatch "
+                         "(the flagship headline methodology); 0 = "
+                         "single-dispatch")
     ap.add_argument("--variant", default="bp",
                     choices=["bp", "ms", "nms", "oms"])
     ap.add_argument("--schedule", default="flooding",
@@ -220,7 +262,9 @@ def main():
         out = run_polar4096(args.batch or 256, args.list, chunk=args.chunk,
                             body=args.body, leaf=args.leaf,
                             control=args.control, node_mode=args.node_mode,
-                            mask_dedup=args.mask_dedup)
+                            mask_dedup=args.mask_dedup,
+                            batch_tile=args.batch_tile,
+                            scan_chunks=args.scan_chunks)
         path = OUT_DIR / "polar_n4096_scl32.json"
     if args.out_name:
         path = OUT_DIR / args.out_name

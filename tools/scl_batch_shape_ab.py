@@ -24,6 +24,7 @@ def main() -> int:
                     help="comma list of BATCHxSCAN")
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--control", default="unroll-kernel")
+    ap.add_argument("--node-mode", default="exact", choices=["exact", "fast"])
     args = ap.parse_args()
 
     import bench
@@ -32,7 +33,8 @@ def main() -> int:
         batch, scan = (int(v) for v in shape.split("x"))
         t0 = time.time()
         r = bench.bench_polar_scl8(batch=batch, control_impl=args.control,
-                                   chunk=args.chunk, scan_chunks=scan)
+                                   chunk=args.chunk, scan_chunks=scan,
+                                   node_mode=args.node_mode)
         print(f"shape {batch}x{scan}: {r['mbps']:.1f} Mbps "
               f"(BER {r['ber_3db']:.2e}, total {time.time()-t0:.0f}s)",
               flush=True)

@@ -31,6 +31,10 @@ def main() -> int:
                          "third, unroll-fused/xla decoder) — the hardware "
                          "gate for the bf16-split einsum exactness claim "
                          "(ADVICE r4 #1)")
+    ap.add_argument("--no-kernel", action="store_true",
+                    help="skip the unroll-kernel config (its ~25 min "
+                         "compile) — e.g. when gating only the matmul "
+                         "apply against the one-hot reference")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     import jax
@@ -60,6 +64,8 @@ def main() -> int:
         ("split/onehot", dict(control_impl="split", perm_impl="onehot",
                               body_impl="xla"), {}),
     ]
+    if args.no_kernel:
+        configs = configs[1:]
     if args.matmul_min_l:
         configs.append(
             ("unroll-fused/rank-matmul",

@@ -209,9 +209,12 @@ def main() -> None:
             "scan_chunks": sweep_S,
             "fallback_budget": dec._budget(sweep_B),
             "note": ("end-to-end adaptive decode, single device program "
-                     "(SC + on-device CRC + argsort compaction + in-graph "
-                     "budget CA-SCL fallback), scan-chained with on-device "
-                     "error counts; exactness (adaptive == CA-SCL on "
+                     "(SC + on-device CRC; compaction, gathers, and the "
+                     "in-graph budget CA-SCL fallback all behind a "
+                     "lax.cond that skips them when the whole batch "
+                     "passes — round-5 fix of the ~40% 0%-fallback "
+                     "overhead), scan-chained with on-device error "
+                     "counts; exactness (adaptive == CA-SCL on "
                      "CRC-failing frames) enforced by "
                      "tests/test_adaptive.py"),
             "points": sweep,
