@@ -402,21 +402,14 @@ def main() -> None:
             xla_body_mbps=round(polar["mbps"], 3),
         )
         print(json.dumps(result))
-    # informational LAST stage: the SSCL fast-node SERVING mode at the same
-    # shape (approximate — error rates statistically identical per
-    # results/tpu/fast_nodes_curve.json; the headline `value` stays the
-    # reference-exact decoder).  Measured 318.0 vs 277.7 on v5e 2026-08-19.
-    try:
-        polar_f = bench_polar_scl8(batch=4096, control_impl="unroll-kernel",
-                                   chunk=128, scan_chunks=32,
-                                   node_mode="fast")
-        result.update(
-            scl_fast_serving_mbps=round(polar_f["mbps"], 3),
-            scl_fast_ber_3db=polar_f["ber_3db"],
-        )
-        print(json.dumps(result))
-    except Exception as e:  # noqa: BLE001 — bench must not die here
-        _log(f"fast serving stage failed (keeping exact line): {e!r}")
+    # NEGATIVE RESULT (r5, retiring the stage): the SSCL fast-node serving
+    # mode lost to the exact path at the headline shape once the r4 exact
+    # optimizations landed — 420.9 vs 448.6 Mbps (r5 re-measure,
+    # results/r5q2.log; r4 driver: 421.8 vs 448.6) and 6.96 vs 12.7 at
+    # N=4096 L=32 (polar_n4096_scl32_fast.json).  An approximate mode
+    # slower than exact has no serving reason to exist; node_mode="fast"
+    # stays available as an opt-in with its own NumPy twin, but the bench
+    # no longer spends ~6 min measuring it.  See ARCHITECTURE.md §3f.
 
 
 if __name__ == "__main__":

@@ -144,32 +144,41 @@ def _sel_metrics(S, cand):
 def _info_leaf(a, pm, Lsz, leaf_impl: str = "onehot"):
     """Branch + stable top-L prune at one info leaf (``decoder.py:283-339``).
 
-    ``a [L, B]`` leaf LLRs, ``pm [L, B]`` → (bit plane ``[L, 1, B]`` int8,
-    pm, R ``[L, L, B]``).
+    ``a [lv, B]`` leaf LLRs, ``pm [lv, B]`` → (bit plane ``[lv', 1, B]``
+    int8, pm, R ``[lv', lv, B]``) with ``lv' = min(2·lv, Lsz)``.
+
+    Width-generic (live-width decoding): ``lv`` is the number of LIVE
+    paths — when ``lv < Lsz`` no candidate is discarded, only rank-
+    reordered, and the output widens.  At ``lv = Lsz`` this is the
+    standard top-L prune.  Slot order matches the full-width −inf-phantom
+    program exactly for finite LLRs: finite candidates always outrank
+    the −inf phantoms, and rank among themselves identically.
 
     ``leaf_impl="onehot"`` ranks candidates by an all-pairs comparison;
     ``"sort"`` uses a stable two-operand ``lax.sort`` along the candidate
     (sublane) axis — fewer element-ops, same reference ordering (stable
     sort keeps candidate-index order on ties; finite sums never produce
     −0.0, so the sort's total order agrees with the comparator)."""
+    lv = pm.shape[0]
+    out = min(2 * lv, Lsz)
     d0, d1 = _d0_d1(a)
-    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2L, B]
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2·lv, B]
     if leaf_impl == "sort":
         idx = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
         sorted_neg, sorted_idx = lax.sort(
             (-cand, idx), dimension=0, is_stable=True, num_keys=1)
-        top_idx = sorted_idx[:Lsz]           # [L, B] — candidate per slot
-        pm2 = -sorted_neg[:Lsz]
-        bits = (top_idx >= Lsz).astype(jnp.int8)
-        src = top_idx % Lsz
+        top_idx = sorted_idx[:out]           # [lv', B] — candidate per slot
+        pm2 = -sorted_neg[:out]
+        bits = (top_idx >= lv).astype(jnp.int8)
+        src = top_idx % lv
         R = (src[:, None, :]
-             == jnp.arange(Lsz, dtype=jnp.int32)[None, :, None]).astype(
+             == jnp.arange(lv, dtype=jnp.int32)[None, :, None]).astype(
                  cand.dtype)
         return bits[:, None, :], pm2, R
-    S2 = _stable_topk_onehot(cand, Lsz)
+    S2 = _stable_topk_onehot(cand, out)
     pm2 = _sel_metrics(S2, cand)
-    bits = jnp.sum(S2[:, Lsz:, :], axis=1).astype(jnp.int8)
-    R = S2[:, :Lsz, :] + S2[:, Lsz:, :]
+    bits = jnp.sum(S2[:, lv:, :], axis=1).astype(jnp.int8)
+    R = S2[:, :lv, :] + S2[:, lv:, :]
     return bits[:, None, :], pm2, R
 
 
@@ -490,29 +499,32 @@ def _compose_rank(a, b):
 
 def _info_leaf_rank(a, pm, Lsz, leaf_impl: str = "onehot"):
     """``_info_leaf`` with the permutation returned as a rank vector
-    ``[L, B] int32`` instead of a one-hot ``[L, L, B]``.  Identical
-    candidate ordering/tie semantics; the sort path reads the rank vector
-    straight off the stable sort's index payload."""
+    ``[lv', B] int32`` instead of a one-hot ``[lv', lv, B]``.  Identical
+    candidate ordering/tie semantics (width-generic, see ``_info_leaf``);
+    the sort path reads the rank vector straight off the stable sort's
+    index payload."""
+    lv = pm.shape[0]
+    out = min(2 * lv, Lsz)
     d0, d1 = _d0_d1(a)
-    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2L, B]
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)  # [2·lv, B]
     if leaf_impl == "sort":
         idx = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
         sorted_neg, sorted_idx = lax.sort(
             (-cand, idx), dimension=0, is_stable=True, num_keys=1)
-        top_idx = sorted_idx[:Lsz]
-        pm2 = -sorted_neg[:Lsz]
-        bits = (top_idx >= Lsz).astype(jnp.int8)
-        return bits[:, None, :], pm2, top_idx % Lsz
+        top_idx = sorted_idx[:out]
+        pm2 = -sorted_neg[:out]
+        bits = (top_idx >= lv).astype(jnp.int8)
+        return bits[:, None, :], pm2, top_idx % lv
     rank = _cand_ranks(cand)
     two_l = cand.shape[0]
-    sshape = (Lsz, two_l, cand.shape[1])
+    sshape = (out, two_l, cand.shape[1])
     sel = (jnp.broadcast_to(rank[None, :, :], sshape)
            == lax.broadcasted_iota(jnp.int32, sshape, 0))
     pm2 = jnp.sum(jnp.where(sel, cand[None], 0), axis=1)
-    bits = jnp.sum(sel[:, Lsz:, :], axis=1).astype(jnp.int8)
+    bits = jnp.sum(sel[:, lv:, :], axis=1).astype(jnp.int8)
     j_iota = lax.broadcasted_iota(jnp.int32, sshape, 1)
-    src = jnp.sum(jnp.where(sel, jnp.where(j_iota < Lsz, j_iota,
-                                           j_iota - Lsz), 0),
+    src = jnp.sum(jnp.where(sel, jnp.where(j_iota < lv, j_iota,
+                                           j_iota - lv), 0),
                   axis=1, dtype=jnp.int32)
     return bits[:, None, :], pm2, src
 
@@ -742,9 +754,12 @@ def _make_chunk_body(flags: np.ndarray, Lsz: int, dtype,
         return beta, pm, R
 
     def body(alpha, pm):
+        # width-generic: alpha/pm may carry lv < Lsz live rows (live-width
+        # decoding); R widths follow the leaf growth, identity at the
+        # INPUT width when no leaf produced one
         beta, pm, R = node(alpha, pm, 0, S)
         if R is None:
-            R = identity_r(Lsz, alpha.shape[-1], dtype)
+            R = identity_r(alpha.shape[0], alpha.shape[-1], dtype)
         return beta, pm, R
 
     return body
@@ -874,7 +889,8 @@ def super_touch_sets(sel: int, j: int, t: int,
 
 
 def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
-                   body_fn, algebra=None, compose_a=None, compose_b=None):
+                   body_fn, algebra=None, compose_a=None, compose_b=None,
+                   lv_in: int = None, lv_out: int = None):
     """One whole chunk step — descend(sel) → body → pending composes →
     ascend(j) — as a pure function of explicit operands:
 
@@ -894,9 +910,24 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
     Skipped levels pass through stale — provably unread before their next
     reset, so decode outputs are bit-identical (tests enforce across
     control modes).
+
+    ``lv_in`` / ``lv_out`` (live-width decoding, round 5): the static
+    LIVE path counts entering/leaving this chunk.  When ``lv_in < Lsz``
+    the whole step runs at the live width — state planes written narrow,
+    pending resets at the live width, no phantom rows computed at all.
+    Exactness: finite-LLR candidates always outrank the legacy −inf
+    phantoms, which deterministically take bit 0 and can never re-enter
+    the live set, so the narrow program IS the reference program with
+    the dead rows deleted (slot order included).  ``None`` = legacy full
+    width.
     """
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
+    if lv_in is None:
+        lv_in = Lsz
+    if lv_out is None:
+        lv_out = Lsz
+    live = lv_in < Lsz or lv_out < Lsz
     apply_perm = algebra["apply_perm"]
     apply_perm_bits = algebra["apply_perm_bits"]
     compose = algebra["compose"]
@@ -906,7 +937,9 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
 
     def fn(llr_nb, alpha, pend_a, beta, pend_b, pm):
         batch = pm.shape[-1]
-        eye = identity_r(Lsz, batch, dtype)
+        eye_in = identity_r(lv_in, batch, dtype)
+        eye_out = (eye_in if lv_out == lv_in
+                   else identity_r(lv_out, batch, dtype))
         alpha = list(alpha)
         pend_a = list(pend_a)
         pend_b = list(pend_b)
@@ -929,17 +962,21 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
             # with the 0/1 cast exactly, and int8 selects move 4x fewer
             # bytes through the kernel's vector units than f32 ones
             left = apply_perm_bits(pend_b[lo - 1], beta[lo - 1]).astype(dtype)
-            first = broadcast_rows(parent[:, :M, :], Lsz)
-            second = broadcast_rows(parent[:, M:, :], Lsz)
+            first = broadcast_rows(parent[:, :M, :], lv_in)
+            second = broadcast_rows(parent[:, M:, :], lv_in)
             parent = second + (1.0 - 2.0 * left) * first  # g
             alpha[lo - 1] = parent
-            pend_a[lo - 1] = eye
+            pend_a[lo - 1] = eye_in
             lo += 1
         for l in range(lo, t + 1):
             M = sizes[l]
             parent = f_minsum(parent[:, :M, :], parent[:, M:, :])
-            alpha[l - 1] = broadcast_rows(parent, Lsz)
-            pend_a[l - 1] = eye
+            # live mode stores path-invariant f-chain planes UN-broadcast
+            # ([1, M, B]); readers' pend entries are provably < the
+            # written width (ancestor rows at write time)
+            alpha[l - 1] = (parent if live
+                            else broadcast_rows(parent, Lsz))
+            pend_a[l - 1] = eye_in
         # ---- chunk body (statically specialized subtree decode) ----------
         beta_c, pm, R = body_fn(alpha[t - 1], pm)
         # ---- compose the chunk's relative permutation into the LIVE
@@ -958,7 +995,7 @@ def _make_super_fn(sel: int, j: int, t: int, sizes, Lsz: int, dtype,
             cur = jnp.concatenate([left_bits ^ cur, cur], axis=1)
         stop = t - j - 1
         beta[stop] = cur
-        pend_b[stop] = eye
+        pend_b[stop] = eye_out
         return (tuple(alpha), tuple(pend_a), tuple(beta), tuple(pend_b), pm)
 
     return fn
@@ -1012,7 +1049,7 @@ def _transform_lnb(beta, roll_rows=None):
 
 
 def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None,
-                  transform: bool = False):
+                  transform: bool = False, lv_in: int = None):
     """The LAST chunk (c = C−1 = 0b11…1) as a pure function: descend is a
     single g at level t (ctz(C−1) = 0), then ascend through every level to
     the root — no parking, the chunk's R composes into each level's
@@ -1029,6 +1066,8 @@ def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None,
     instead of paying the [B, L, N] XLA butterfly's HBM round-trips."""
     if algebra is None:
         algebra = _BROADCAST_ALGEBRA
+    if lv_in is None:
+        lv_in = Lsz
     apply_perm = algebra["apply_perm"]
     apply_perm_bits = algebra["apply_perm_bits"]
     compose = algebra["compose"]
@@ -1040,8 +1079,8 @@ def _make_last_fn(t: int, sizes, Lsz: int, dtype, body_fn, algebra=None,
         parent = (llr_nb[None] if t == 1
                   else apply_perm(pend_a[t - 2], alpha[t - 2]))
         left = apply_perm_bits(pend_b[t - 1], beta[t - 1]).astype(dtype)
-        first = broadcast_rows(parent[:, :M, :], Lsz)
-        second = broadcast_rows(parent[:, M:, :], Lsz)
+        first = broadcast_rows(parent[:, :M, :], lv_in)
+        second = broadcast_rows(parent[:, M:, :], lv_in)
         alpha_t = second + (1.0 - 2.0 * left) * first  # g
         beta_c, pm, R = body_fn(alpha_t, pm)
         cur = beta_c
@@ -1064,7 +1103,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                           batch_tile: int = 128,
                           node_mode: str = "exact",
                           perm_impl: str = "rank",
-                          mask_dedup: str = "exact"):
+                          mask_dedup: str = "exact",
+                          live_width="auto"):
     """Build a jittable chunk-scan SCL decoder.
 
     Same contract as ``scl.make_scl_decoder``: ``decode(llr [B, N]) →
@@ -1111,6 +1151,24 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
     carries list permutations as int32 rank vectors ``[L, B]`` — L× less
     pending state and L× cheaper composition than ``"onehot"``'s
     ``[L, L, B]`` tensors (see the rank-algebra block above).
+
+    ``live_width`` (round 5 — incremental-list / live-width decoding):
+    run the early chunks at the actual LIVE path count (1 → 2 → … → L,
+    doubling per info leaf) instead of the full list width: no −inf
+    phantom rows are computed, stored, or permuted at all.  Bit-exact vs
+    the full-width program for FINITE channel LLRs (tests enforce):
+    finite candidates always outrank −inf phantoms, phantoms take bit 0
+    by the reference tie rules and can never re-enter the live set, and
+    every slot is live again after ``log2 L`` info leaves — so outputs
+    (slot order included) are identical.  A code with fewer than
+    ``log2 L`` info bits pads the output with the phantom rows' exact
+    values (all-zero û, −inf metric).  ``"auto"`` (default) enables it
+    for ``node_mode="exact"`` + ``perm_impl="rank"`` on the straight-line
+    controls (``unroll-*``, single-chunk); narrow-width chunk steps in
+    ``unroll-kernel`` run the bit-identical XLA form (full-width steps
+    keep their superkernels).  NOT exact for ±inf LLR inputs (a −inf
+    live candidate would tie-break against phantoms by candidate index);
+    finite LLRs are guaranteed by every channel in this package.
 
     ``mask_dedup`` (bit-identical outputs either way): ``"exact"``
     (default) keeps per-position live-compose masks in the unroll modes
@@ -1172,6 +1230,33 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             assert control_impl in ("split", "fused", "unroll-fused"), (
                 "node_mode='fast' with perm_impl='onehot' has no Pallas "
                 "control modes — use perm_impl='rank'")
+    # ---- live-width (incremental-list) schedule: static per-chunk live
+    # path counts; lv doubles per info leaf, capped at L ---------------------
+    n_info_chunk = (~chunk_flags_np).sum(axis=1)
+    info_before = np.concatenate([[0], np.cumsum(n_info_chunk)])
+
+    def _lv_at(n_info):
+        return int(min(Lsz, 1 << min(int(n_info), 30)))
+
+    lv_in_c = [_lv_at(info_before[c]) for c in range(C)]
+    lv_out_c = [_lv_at(info_before[c + 1]) for c in range(C)]
+    live_capable = (node_mode == "exact" and perm_impl == "rank"
+                    and ((C == 1 and body_impl == "xla")
+                         or (C > 1 and control_impl in
+                             ("unroll-fused", "unroll-kernel",
+                              "unroll-kernel-interpret"))))
+    if live_width == "auto":
+        live_on = live_capable and any(w < Lsz for w in lv_in_c)
+    else:
+        live_on = bool(live_width)
+        if live_on:
+            assert live_capable, (
+                "live_width requires node_mode='exact', perm_impl='rank' "
+                "and a straight-line control (unroll-*/single-chunk)")
+    if not live_on:
+        lv_in_c = [Lsz] * C
+        lv_out_c = [Lsz] * C
+
     if body_impl == "pallas":
         # fused VMEM-resident subtree bodies (ops/scl_body_pallas.py);
         # bit-identical to the XLA bodies (the kernel traces the same jnp
@@ -1192,18 +1277,34 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                   for f in unique_flags]
     rev_j = jnp.asarray(rev, jnp.int32)
 
+    def _pad_rows(x, value):
+        """Live-width output pad: a code with < log2 L info leaves ends
+        with lv < L live slots; the missing slots are the phantom rows'
+        exact values (all-zero codeword / −inf metric — phantoms take
+        bit 0 everywhere and keep −inf + finite = −inf)."""
+        w = x.shape[0]
+        if w == Lsz:
+            return x
+        pad = jnp.full((Lsz - w,) + x.shape[1:], value, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
     def _finish(root_bits_lnb, pm_lb):
         """[L, N, B] bit-rev β + [L, B] metrics → public [B, L, N]/[B, L]."""
+        root_bits_lnb = _pad_rows(root_bits_lnb, 0)
+        pm_lb = _pad_rows(pm_lb, _NEG_INF)
         beta_nat = jnp.transpose(root_bits_lnb, (2, 0, 1))[..., rev_j]
         return polar_transform(beta_nat), jnp.transpose(pm_lb, (1, 0))
 
     def _finish_u(u_lnb, pm_lb):
         """Like ``_finish`` but the butterfly already ran (fused into the
         last chunk kernel): just un-permute rows + batch-first."""
-        u_nat = jnp.transpose(u_lnb, (2, 0, 1))[..., rev_j]
+        u_nat = jnp.transpose(_pad_rows(u_lnb, 0), (2, 0, 1))[..., rev_j]
+        pm_lb = _pad_rows(pm_lb, _NEG_INF)
         return u_nat, jnp.transpose(pm_lb, (1, 0))
 
     def _init_pm(batch):
+        if live_on:  # one live path, no phantoms
+            return jnp.zeros((1, batch), dtype)
         pm = jnp.full((Lsz, batch), _NEG_INF, dtype)
         return pm.at[0, :].set(0.0)
 
@@ -1215,7 +1316,8 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
             assert llr.ndim == 2, "SCL decode expects [batch, N]"
             batch = llr.shape[0]
             llr_nb = jnp.transpose(llr[:, rev_j], (1, 0))  # [N, B]
-            alpha = jnp.broadcast_to(llr_nb[None], (Lsz, N, batch))
+            width = 1 if live_on else Lsz
+            alpha = jnp.broadcast_to(llr_nb[None], (width, N, batch))
             beta, pm, _ = body(alpha, _init_pm(batch))
             return _finish(beta, pm)
 
@@ -1310,7 +1412,58 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                            for c in range(C - 1))
             comp_b = tuple(frozenset(union[keys[c]][1])
                            for c in range(C - 1))
-        triples = [keys[c] + (comp_a[c], comp_b[c]) for c in range(C - 1)]
+        # live-width: simulate the per-level state widths along the
+        # straight-line schedule.  Narrow-written planes (width = live
+        # count at write time) are read width-generically by the XLA
+        # forms; the fixed-shape superkernels only run at positions whose
+        # whole input footprint is full-width (ws_full below).
+        w0 = 1 if live_on else Lsz  # carry init width
+        wa = [w0] * t
+        wb = [w0] * t
+        wpa = [w0] * t
+        wpb = [w0] * t
+        width_sig = []
+        ws_full = []
+        for c in range(C - 1):
+            k_c, inv_c = decode_selector(int(desc_k[c]), t)
+            lvi, lvo = lv_in_c[c], lv_out_c[c]
+            touch = super_touch_sets(int(desc_k[c]), int(asc_j[c]), t,
+                                     comp_a[c], comp_b[c])
+            sig = (tuple(wa), tuple(wb), tuple(wpa), tuple(wpb))
+            # invariant-parent variants read alpha as a [:1] slab — any
+            # stored width satisfies the kernel's slim operand spec
+            a_req = [] if inv_c else touch["alpha_read"]
+            full = (lvi == Lsz and lvo == Lsz
+                    and all(wa[i] == Lsz for i in a_req)
+                    and all(wb[i] == Lsz for i in touch["beta_read"])
+                    and all(wpa[i] == Lsz for i in touch["pend_a_in"])
+                    and all(wpb[i] == Lsz for i in touch["pend_b_in"]))
+            width_sig.append(sig)
+            ws_full.append(full)
+            for i in touch["alpha_write"]:
+                wa[i] = lvi
+            for i in touch["pend_a_out"]:
+                wpa[i] = lvo
+            for i in touch["pend_a_eye"]:
+                wpa[i] = lvi
+            for i in touch["beta_write"]:
+                wb[i] = lvo
+            for i in touch["pend_b_out"]:
+                wpb[i] = lvo
+            for i in touch["pend_b_eye"]:
+                wpb[i] = lvo
+        last_full = (lv_in_c[C - 1] == Lsz
+                     and (t < 2 or wa[t - 2] == Lsz)
+                     and all(w == Lsz for w in wb)
+                     and (t < 2 or wpa[t - 2] == Lsz)
+                     and all(w == Lsz for w in wpb))
+        # variants are additionally keyed by their static widths — early
+        # narrow steps trace differently (no-op key when live is off)
+        triples = [keys[c] + (comp_a[c], comp_b[c],
+                              lv_in_c[c], lv_out_c[c],
+                              width_sig[c] if live_on else None,
+                              ws_full[c])
+                   for c in range(C - 1)]
         uniq_t: dict[tuple, int] = {}
         tid = np.zeros(C - 1, np.int32)
         for c, tr in enumerate(triples):
@@ -1334,12 +1487,16 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         if mega_core is not None and batch % batch_tile == 0:
             cur, pm = mega_core(llr_nb)
             return _finish(cur, pm)
-        eye = alg_x["identity_r"](Lsz, batch, dtype)
+        # live-width mode starts the straight-line carry at width 1 (one
+        # live path, no phantom rows); every level is written before its
+        # first read (DFS schedule), so the init values are shape seeds
+        w0 = 1 if live_on else Lsz
+        eye = alg_x["identity_r"](w0, batch, dtype)
         carry = dict(
-            alpha=tuple(jnp.zeros((Lsz, sizes[l], batch), dtype)
+            alpha=tuple(jnp.zeros((w0, sizes[l], batch), dtype)
                         for l in range(1, t + 1)),
             pend_a=tuple(eye for _ in range(t)),
-            beta=tuple(jnp.zeros((Lsz, sizes[l], batch), jnp.int8)
+            beta=tuple(jnp.zeros((w0, sizes[l], batch), jnp.int8)
                        for l in range(1, t + 1)),
             pend_b=tuple(eye for _ in range(t)),
             pm=_init_pm(batch),
@@ -1412,13 +1569,25 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 return _desc_branch(sel)
             return _desc_branch(sel - t - 1, invariant_parent=True)
 
+        def _body_for(pid, narrow):
+            """Chunk body for a variant: narrow (live-width) steps always
+            take a width-generic XLA body — the Pallas body kernels are
+            built at the full Lsz operand shapes."""
+            if narrow and body_impl == "pallas":
+                return _make_chunk_body(unique_flags[pid], Lsz, dtype,
+                                        leaf_impl, algebra=alg_x,
+                                        node_mode=node_mode)
+            return bodies[pid]
+
         if control_impl != "split":
             if control_impl in ("fused", "unroll-fused"):
                 def _super_branch(tr):
-                    sel, pid, j, ca, cb = tr
+                    sel, pid, j, ca, cb, lvi, lvo, _ws, _full = tr
                     fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                        bodies[pid], algebra=alg_x,
-                                        compose_a=ca, compose_b=cb)
+                                        _body_for(pid, lvi < Lsz),
+                                        algebra=alg_x,
+                                        compose_a=ca, compose_b=cb,
+                                        lv_in=lvi, lv_out=lvo)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(
@@ -1436,22 +1605,29 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 )
 
                 def _super_branch(tr):
-                    sel, pid, j, ca, cb = tr
+                    sel, pid, j, ca, cb, lvi, lvo, _ws, full_w = tr
                     # slim invariant alpha writes need straight-line
                     # dataflow (a scan carry would materialize the lazy
                     # re-broadcast every step)
                     slim = control_impl.startswith("unroll")
                     # hybrid control: variants whose operand footprint
                     # exceeds the VMEM budget (tall ascends at large N·L)
-                    # run the bit-identical fused-XLA program instead
-                    if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
-                                         batch_tile, compose_a=ca,
-                                         compose_b=cb, perm_impl=perm_impl,
-                                         slim_writes=slim)
+                    # run the bit-identical fused-XLA program instead.
+                    # Live-width steps that are narrow OR read any
+                    # narrow-written plane do the same — the superkernels
+                    # are built at full-width operand shapes.
+                    if (not full_w
+                            or super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
+                                                batch_tile, compose_a=ca,
+                                                compose_b=cb,
+                                                perm_impl=perm_impl,
+                                                slim_writes=slim)
                             > VMEM_OPERAND_BUDGET):
                         fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
-                                            bodies[pid], algebra=alg_x,
-                                            compose_a=ca, compose_b=cb)
+                                            _body_for(pid, lvi < Lsz),
+                                            algebra=alg_x,
+                                            compose_a=ca, compose_b=cb,
+                                            lv_in=lvi, lv_out=lvo)
                     else:
                         fn = make_superchunk_pallas(
                             sel, unique_flags[pid], j, t, sizes, Lsz, dtype,
@@ -1525,6 +1701,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
         # the root.  Kernel control modes fuse the whole step into one
         # Pallas kernel like the in-scan chunks.
         last_transformed = False
+        lv_last = lv_in_c[C - 1]
         if control_impl in ("kernel", "kernel-interpret", "unroll-kernel",
                             "unroll-kernel-interpret"):
             from ...ops.scl_superchunk_pallas import (
@@ -1533,12 +1710,15 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 make_last_superchunk_pallas,
             )
 
-            if (last_vmem_bytes(t, sizes, Lsz, dtype, batch_tile,
-                                perm_impl=perm_impl)
-                    > VMEM_OPERAND_BUDGET):  # hybrid fallback (large N·L)
+            if (not last_full
+                    or last_vmem_bytes(t, sizes, Lsz, dtype, batch_tile,
+                                       perm_impl=perm_impl)
+                    > VMEM_OPERAND_BUDGET):  # hybrid fallback (large N·L
+                # or a live-width narrow input footprint)
                 last_fn = _make_last_fn(t, sizes, Lsz, dtype,
-                                        bodies[pattern_ids[C - 1]],
-                                        algebra=alg_x)
+                                        _body_for(pattern_ids[C - 1],
+                                                  lv_last < Lsz),
+                                        algebra=alg_x, lv_in=lv_last)
             else:
                 # fuse the final butterfly u = β·G into the kernel (pure
                 # XORs on the VMEM-resident plane) instead of a [B, L, N]
@@ -1552,8 +1732,9 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                     transform=True)
         else:
             last_fn = _make_last_fn(t, sizes, Lsz, dtype,
-                                    bodies[pattern_ids[C - 1]],
-                                    algebra=alg_x)
+                                    _body_for(pattern_ids[C - 1],
+                                              lv_last < Lsz),
+                                    algebra=alg_x, lv_in=lv_last)
         cur, pm = last_fn(llr_nb, carry["alpha"], carry["pend_a"],
                           carry["beta"], carry["pend_b"], carry["pm"])
         # root plane is in bit-reversed storage: either β (un-permute

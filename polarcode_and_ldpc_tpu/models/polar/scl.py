@@ -64,7 +64,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                      chunk: int = 128, body_impl: str = "xla",
                      leaf_impl: str = "onehot", control_impl: str = "split",
                      batch_tile: int = 128, node_mode: str = "exact",
-                     perm_impl: str = "rank", mask_dedup: str = "exact"):
+                     perm_impl: str = "rank", mask_dedup: str = "exact",
+                     live_width="auto"):
     """Build a jittable SCL decoder.
 
     Returns ``decode(llr: [batch, N]) -> (u: [batch, L, N] int8,
@@ -107,7 +108,8 @@ def make_scl_decoder(N: int, frozen_mask: np.ndarray, list_size: int,
                                      batch_tile=batch_tile,
                                      node_mode=node_mode,
                                      perm_impl=perm_impl,
-                                     mask_dedup=mask_dedup)
+                                     mask_dedup=mask_dedup,
+                                     live_width=live_width)
     assert impl == "scan", f"unknown impl {impl!r}"
     sched = build_schedule(N, frozen_mask)
     n, Lsz = sched.n, list_size

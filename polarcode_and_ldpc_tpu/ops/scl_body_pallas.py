@@ -79,15 +79,18 @@ def _compose_loop(A, B):
 def _info_leaf_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
     """Mosaic-friendly ``scanscl._info_leaf``: the all-pairs stable rank and
     the slot selections run as static loops over the (tiny) candidate axis
-    with 2D ``[2L, B]`` tensors.  Ordering semantics identical to the
-    reference (metric desc, ties by candidate index —
-    ``/root/reference/src/polar/decoder.py:299-307``)."""
+    with 2D ``[2·lv, B]`` tensors.  Width-generic (live-width decoding —
+    ``lv = pm.shape[0]`` live paths, output ``min(2·lv, Lsz)``).  Ordering
+    semantics identical to the reference (metric desc, ties by candidate
+    index — ``/root/reference/src/polar/decoder.py:299-307``)."""
     del leaf_impl  # only the one-hot ranking exists in-kernel
     from ..models.polar.scanscl import _d0_d1
 
+    lv = pm.shape[0]
+    out = min(2 * lv, Lsz)
     d0, d1 = _d0_d1(a)
-    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2L, B]
-    two_l = 2 * Lsz
+    cand = jnp.concatenate([pm + d0, pm + d1], axis=0)      # [2·lv, B]
+    two_l = 2 * lv
     i_iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     rank = jnp.zeros(cand.shape, jnp.int32)
     for j in range(two_l):
@@ -95,14 +98,14 @@ def _info_leaf_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
         before = (cj > cand) | ((cj == cand) & (j < i_iota))
         rank = rank + before.astype(jnp.int32)
     pm_rows, bit_rows, r_rows = [], [], []
-    for l in range(Lsz):
-        sel = rank == l                                     # [2L, B]
+    for l in range(out):
+        sel = rank == l                                     # [2·lv, B]
         pm_rows.append(jnp.sum(jnp.where(sel, cand, 0), axis=0))
-        bit_rows.append(jnp.sum(sel[Lsz:].astype(jnp.int8), axis=0))
-        r_rows.append((sel[:Lsz] | sel[Lsz:]).astype(cand.dtype))
-    pm2 = jnp.stack(pm_rows, axis=0)                        # [L, B]
-    bits = jnp.stack(bit_rows, axis=0).astype(jnp.int8)     # [L, B]
-    R = jnp.stack(r_rows, axis=0)                           # [L, L, B]
+        bit_rows.append(jnp.sum(sel[lv:].astype(jnp.int8), axis=0))
+        r_rows.append((sel[:lv] | sel[lv:]).astype(cand.dtype))
+    pm2 = jnp.stack(pm_rows, axis=0)                        # [lv', B]
+    bits = jnp.stack(bit_rows, axis=0).astype(jnp.int8)     # [lv', B]
+    R = jnp.stack(r_rows, axis=0)                           # [lv', lv, B]
     return bits[:, None, :], pm2, R
 
 
@@ -213,15 +216,21 @@ def _info_leaf_rank_loop(a, pm, Lsz, leaf_impl: str = "onehot"):
     del leaf_impl  # only the all-pairs ranking exists in-kernel
     from ..models.polar.scanscl import _d0_d1
 
+    lv = pm.shape[0]
     d0, d1 = _d0_d1(a)
-    pm2, second, src = _prune_2l_rank_halves_loop(pm + d0, pm + d1, Lsz)
+    pm2, second, src = _prune_2l_rank_halves_loop(
+        pm + d0, pm + d1, min(2 * lv, Lsz))
     return second.astype(jnp.int8)[:, None, :], pm2, src
 
 
-def _prune_2l_rank_halves_loop(c0, c1, Lsz):
-    """Stable top-L of the ordered candidate set ``[c0; c1]`` (candidate
-    index = half·L + row, the reference's bit-0-paths-then-bit-1-paths
-    order) → ``(pm [L, B], second [L, B] int32 ∈ {0,1}, r [L, B] int32)``.
+def _prune_2l_rank_halves_loop(c0, c1, out):
+    """Stable top-``out`` of the ordered candidate set ``[c0; c1]``
+    (candidate index = half·lv + row, ``lv = c0.shape[0]``, the
+    reference's bit-0-paths-then-bit-1-paths order) →
+    ``(pm [out, B], second [out, B] int32 ∈ {0,1}, r [out, B] int32)``.
+    Width-generic: live-width callers pass ``out = min(2·lv, L)`` (no
+    discard while the list is still filling), standard prunes pass
+    ``out = lv = L``.
 
     Round-4 form: the ``[2L, B]`` concat field of the previous all-pairs
     ranking padded HALF of every vector tile at L = 8 (2L = 16 rows → two
@@ -237,10 +246,11 @@ def _prune_2l_rank_halves_loop(c0, c1, Lsz):
     Extraction is scatter-style: each candidate writes its metric/index
     into its rank slot (one masked select per candidate instead of a
     where+cross-sublane-reduce per slot)."""
+    lv = c0.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, c0.shape, 0)
     rank0 = jnp.zeros(c0.shape, jnp.int32)
     rank1 = jnp.zeros(c0.shape, jnp.int32)
-    for j in range(Lsz):
+    for j in range(lv):
         c0j = c0[j][None, :]
         c1j = c1[j][None, :]
         # pure boolean algebra — a select with BOOLEAN payloads lowers
@@ -250,17 +260,19 @@ def _prune_2l_rank_halves_loop(c0, c1, Lsz):
                   + (c1j > c0).astype(jnp.int32))
         rank1 += ((c0j >= c1).astype(jnp.int32)
                   + ((c1j > c1) | (lt & (c1j == c1))).astype(jnp.int32))
-    pm = jnp.zeros_like(c0)
-    comb = jnp.zeros(c0.shape, jnp.int32)
-    for j in range(Lsz):
-        hit0 = rank0[j][None, :] == iota
+    oshape = (out, c0.shape[1])
+    oiota = jax.lax.broadcasted_iota(jnp.int32, oshape, 0)
+    pm = jnp.zeros(oshape, c0.dtype)
+    comb = jnp.zeros(oshape, jnp.int32)
+    for j in range(lv):
+        hit0 = rank0[j][None, :] == oiota
         pm = jnp.where(hit0, c0[j][None, :], pm)
         comb = jnp.where(hit0, j, comb)
-        hit1 = rank1[j][None, :] == iota
+        hit1 = rank1[j][None, :] == oiota
         pm = jnp.where(hit1, c1[j][None, :], pm)
-        comb = jnp.where(hit1, j + Lsz, comb)
-    second = (comb >= Lsz).astype(jnp.int32)
-    return pm, second, comb - second * Lsz
+        comb = jnp.where(hit1, j + lv, comb)
+    second = (comb >= lv).astype(jnp.int32)
+    return pm, second, comb - second * lv
 
 
 def _prune_2l_rank_loop(cand, Lsz):

@@ -9,6 +9,9 @@ import pytest
 
 import polarcode_and_ldpc_tpu as fec
 from polarcode_and_ldpc_tpu.parity.channel_np import awgn_llr_np
+from polarcode_and_ldpc_tpu.models.polar.construction import (
+    frozen_mask_from_positions,
+)
 from polarcode_and_ldpc_tpu.parity.polar_np import polar_encode_np, scl_decode_np
 
 
@@ -96,3 +99,78 @@ def test_scl_all_zero_high_snr():
     dec = fec.SCLDecoder(N, K, list_size=4)
     llr = np.full((3, N), 80.0)
     assert (np.asarray(dec.decode(llr)) == 0).all()
+
+
+def test_live_width_bit_identical(rng):
+    # live-width (incremental-list) decoding (round 5): the early chunks
+    # run at the actual live path count with NO -inf phantom rows; outputs
+    # (slot order and metrics included) must be bit-identical to the
+    # full-width program and the NumPy twin for finite LLRs
+    import jax
+    import jax.numpy as jnp
+
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+    from polarcode_and_ldpc_tpu.parity.polar_np import scl_decode_np
+
+    N, K, L, S = 256, 128, 8, 32
+    mask = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, K, "bhattacharyya", 2.0)[0])
+    llr = rng.standard_normal((4, N)) * 1.5
+    llr[0, :4] = 0.0  # tie stress
+    d_leg = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=S, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=False))
+    d_liv = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=S, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=True))
+    u0, m0 = d_leg(llr)
+    u1, m1 = d_liv(llr)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    _, rm, rp = scl_decode_np(llr[2], mask, L)
+    np.testing.assert_allclose(np.asarray(m1)[2], rm, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(u1)[2], rp)
+
+
+def test_live_width_growth_across_chunks_and_pad(rng):
+    # growth spanning multiple chunks (L=16 with a sparse head) and the
+    # tiny-K output pad (fewer info leaves than log2 L: the missing slots
+    # are the phantom rows' exact values - all-zero u, -inf metric)
+    import jax
+    import jax.numpy as jnp
+
+    from polarcode_and_ldpc_tpu.models.polar.scanscl import (
+        make_scl_decoder_scan,
+    )
+
+    N, L, S = 256, 16, 32
+    mask = frozen_mask_from_positions(
+        N, fec.construct_polar_code(N, 60, "bhattacharyya", 2.0)[0])
+    llr = rng.standard_normal((3, N)) * 1.5
+    d_leg = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=S, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=False))
+    d_liv = jax.jit(make_scl_decoder_scan(
+        N, mask, L, chunk=S, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=True))
+    u0, m0 = d_leg(llr)
+    u1, m1 = d_liv(llr)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    # tiny-K pad: 2 info leaves, L=8 -> only 4 live slots at the end
+    mask2 = np.ones(64, bool)
+    mask2[[62, 63]] = False
+    llr2 = rng.standard_normal((2, 64))
+    d_p = jax.jit(make_scl_decoder_scan(
+        64, mask2, 8, chunk=16, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=True))
+    d_pl = jax.jit(make_scl_decoder_scan(
+        64, mask2, 8, chunk=16, dtype=jnp.float64, perm_impl="rank",
+        control_impl="unroll-fused", live_width=False))
+    up, mp = d_p(llr2)
+    ul, ml = d_pl(llr2)
+    np.testing.assert_array_equal(np.asarray(up), np.asarray(ul))
+    np.testing.assert_array_equal(np.asarray(mp), np.asarray(ml))
+    assert np.all(np.asarray(mp)[:, 4:] == -np.inf)
