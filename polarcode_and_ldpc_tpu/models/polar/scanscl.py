@@ -1605,23 +1605,29 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                 )
 
                 def _super_branch(tr):
-                    sel, pid, j, ca, cb, lvi, lvo, _ws, full_w = tr
+                    sel, pid, j, ca, cb, lvi, lvo, ws, full_w = tr
                     # slim invariant alpha writes need straight-line
                     # dataflow (a scan carry would materialize the lazy
                     # re-broadcast every step)
                     slim = control_impl.startswith("unroll")
+                    # live-width variants trace the same width-generic
+                    # program with narrow operand shapes (widths dict);
+                    # full-width variants keep the legacy kernel build
+                    widths = None
+                    if not full_w:
+                        wa_s, wb_s, wpa_s, wpb_s = ws
+                        widths = dict(wa=wa_s, wb=wb_s, wpa=wpa_s,
+                                      wpb=wpb_s, lv_in=lvi, lv_out=lvo)
                     # hybrid control: variants whose operand footprint
-                    # exceeds the VMEM budget (tall ascends at large N·L)
-                    # run the bit-identical fused-XLA program instead.
-                    # Live-width steps that are narrow OR read any
-                    # narrow-written plane do the same — the superkernels
-                    # are built at full-width operand shapes.
-                    if (not full_w
-                            or super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
-                                                batch_tile, compose_a=ca,
-                                                compose_b=cb,
-                                                perm_impl=perm_impl,
-                                                slim_writes=slim)
+                    # exceeds the VMEM budget (tall ascends at large N·L;
+                    # the estimate is full-width, so narrow variants are
+                    # gated conservatively) run the bit-identical
+                    # fused-XLA program instead
+                    if (super_vmem_bytes(sel, j, t, sizes, Lsz, dtype,
+                                         batch_tile, compose_a=ca,
+                                         compose_b=cb,
+                                         perm_impl=perm_impl,
+                                         slim_writes=slim)
                             > VMEM_OPERAND_BUDGET):
                         fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype,
                                             _body_for(pid, lvi < Lsz),
@@ -1635,7 +1641,7 @@ def make_scl_decoder_scan(N: int, frozen_mask: np.ndarray, list_size: int,
                             interpret=control_impl.endswith("-interpret"),
                             compose_a=ca, compose_b=cb,
                             perm_impl=perm_impl, node_mode=node_mode,
-                            slim_writes=slim)
+                            slim_writes=slim, widths=widths)
 
                     def branch(carry):
                         alpha, pend_a, beta, pend_b, pm = fn(

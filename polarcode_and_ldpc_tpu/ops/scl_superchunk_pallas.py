@@ -171,7 +171,8 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
                            compose_a=None, compose_b=None,
                            perm_impl: str = "onehot",
                            node_mode: str = "exact",
-                           slim_writes: bool = False):
+                           slim_writes: bool = False,
+                           widths=None):
     """Build one fused chunk-step kernel for the (sel, pattern, j) variant.
 
     Returns ``fn(llr_nb [N, B], alpha tuple, pend_a tuple, beta tuple,
@@ -184,12 +185,21 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     ``perm_impl`` selects the permutation representation the kernel (and
     its XLA fallback twin) trades in: one-hot ``[L, L, B]`` or int32 rank
     vectors ``[L, B]`` — must match the caller's pending state.
+
+    ``widths`` (live-width decoding; rank mode only): dict with the
+    variant's static state widths — ``wa``/``wb``/``wpa``/``wpb`` (per-
+    level input widths, as in ``scanscl``'s width simulation) and
+    ``lv_in``/``lv_out`` — the kernel traces the identical width-generic
+    program with narrow operand shapes.  ``None`` = full width.
     """
     flags = np.asarray(flags, bool)
     assert perm_impl in ("onehot", "rank"), perm_impl
     rank = perm_impl == "rank"
     assert node_mode == "exact" or rank, \
         "in-kernel node_mode='fast' requires perm_impl='rank'"
+    assert widths is None or rank, "live-width kernels are rank-only"
+    lv_in = Lsz if widths is None else widths["lv_in"]
+    lv_out = Lsz if widths is None else widths["lv_out"]
     touch = super_touch_sets(sel, j, t, compose_a, compose_b)
     a_reads, a_writes = _slim_alpha_plans(sel, j, t, touch, Lsz,
                                           slim_writes)
@@ -204,14 +214,16 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
     super_kernel_fn = _make_super_fn(
         sel, j, t, sizes, Lsz, dtype, body_kernel,
         algebra=_SUPER_RANK_ALGEBRA if rank else _SUPER_ALGEBRA,
-        compose_a=compose_a, compose_b=compose_b)
+        compose_a=compose_a, compose_b=compose_b,
+        lv_in=lv_in, lv_out=lv_out)
     # bit-identical XLA twin — used for unaligned batches (tiny MC chunks)
     xla_algebra = rank_algebra_for(Lsz) if rank else None
     body_xla = _make_chunk_body(flags, Lsz, dtype, leaf_impl,
                                 algebra=xla_algebra, node_mode=node_mode)
     super_xla_fn = _make_super_fn(sel, j, t, sizes, Lsz, dtype, body_xla,
                                   algebra=xla_algebra,
-                                  compose_a=compose_a, compose_b=compose_b)
+                                  compose_a=compose_a, compose_b=compose_b,
+                                  lv_in=lv_in, lv_out=lv_out)
 
     # static operand schedule: (kind, level-index) in kernel-ref order
     in_plan = ([("llr", None)] if needs_llr else []) \
@@ -227,23 +239,36 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
         + [("pm", None)]
     eye_a, eye_b = touch["pend_a_eye"], touch["pend_b_eye"]
 
-    def _shape_dtype(kind, i, B):
+    def _w(kind, i, out):
+        """Static operand width (live-width narrows it; Lsz otherwise)."""
+        if kind == "alpha_slim":
+            return 1
+        if widths is None:
+            return Lsz
+        if out:
+            return lv_in if kind == "alpha" else lv_out
+        return {"alpha": widths["wa"], "beta": widths["wb"],
+                "pend_a": widths["wpa"], "pend_b": widths["wpb"],
+                "pm": None}[kind][i] if kind != "pm" else lv_in
+
+    def _shape_dtype(kind, i, B, out=False):
         if kind == "llr":
             return (N, B), dtype
+        w = _w(kind, i, out)
         if kind == "alpha":
-            return (Lsz, sizes[i + 1], B), dtype
+            return (w, sizes[i + 1], B), dtype
         if kind == "alpha_slim":  # invariant planes: one path slab
             return (1, sizes[i + 1], B), dtype
         if kind == "beta":
-            return (Lsz, sizes[i + 1], B), jnp.int8
+            return (w, sizes[i + 1], B), jnp.int8
         if kind == "pm":
-            return (Lsz, B), dtype
+            return (w, B), dtype
         if rank:  # pend_a / pend_b as int32 rank vectors
-            return (Lsz, B), jnp.int32
+            return (w, B), jnp.int32
         return (Lsz, Lsz, B), dtype  # pend_a / pend_b one-hot
 
-    def _block_spec(kind, i):
-        shape, _ = _shape_dtype(kind, i, batch_tile)
+    def _block_spec(kind, i, out=False):
+        shape, _ = _shape_dtype(kind, i, batch_tile, out)
         nlead = len(shape) - 1
         return pl.BlockSpec(
             shape,
@@ -286,9 +311,10 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
             kernel,
             grid=(B // batch_tile,),
             in_specs=[_block_spec(kind, i) for kind, i in in_plan],
-            out_specs=tuple(_block_spec(kind, i) for kind, i in out_plan),
+            out_specs=tuple(_block_spec(kind, i, out=True)
+                            for kind, i in out_plan),
             out_shape=tuple(
-                jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B))
+                jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B, out=True))
                 for kind, i in out_plan),
             interpret=interpret,
         )(*operands)
@@ -297,19 +323,22 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
             if kind == "alpha_slim":
                 # path-invariant plane: lazy re-broadcast — readers are
                 # invariant [:1] slices, so this never materializes in
-                # the straight-line controls
-                new["alpha"][i] = jnp.broadcast_to(
-                    o, (Lsz,) + o.shape[1:])
+                # the straight-line controls.  Live-width keeps the true
+                # [1, M, B] plane (no broadcast needed).
+                new["alpha"][i] = (o if widths is not None
+                                   else jnp.broadcast_to(
+                                       o, (Lsz,) + o.shape[1:]))
             else:
                 new[kind][i] = o
         # reset-only pendings never enter the kernel: their final value is
         # the identity, written here as a free JAX-level broadcast
         if eye_a or eye_b:
-            eye = _pend_identity(Lsz, B, dtype, perm_impl)
             for i in eye_a:
-                new["pend_a"][i] = eye
+                new["pend_a"][i] = _pend_identity(lv_in, B, dtype,
+                                                  perm_impl)
             for i in eye_b:
-                new["pend_b"][i] = eye
+                new["pend_b"][i] = _pend_identity(lv_out, B, dtype,
+                                                  perm_impl)
         return (tuple(new["alpha"][i] for i in range(t)),
                 tuple(new["pend_a"][i] for i in range(t)),
                 tuple(new["beta"][i] for i in range(t)),
