@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-5 queue 7: batch-tile sweep — the floor hypothesis is SERIAL
+# per-tile latency (the grid walks 32 tiles sequentially; each tile's
+# dependent chain runs on 1-vreg [8,128] ops with the VPU ~90% idle).
+# Wider tiles = fewer serial repeats at similar per-tile latency.
+# r3 saw tile=256 abort the compiler; retry on the r5 tree (slim state,
+# live width) under stallguard.
+set -x
+cd /root/repo
+SG="bash tools/stallguard.sh"
+
+for TILE in 256 512; do
+  echo "=== r5q7: flagship 4096x32 c128 batch_tile $TILE ==="
+  $SG 2400 900 -- python -u tools/scl_batch_shape_ab.py --shapes 4096x32 \
+      --chunk 128 --control unroll-kernel --batch-tile $TILE \
+      2>&1 | grep -v WARNING | tail -2
+done
+
+echo "=== r5q7: floor split at the best tile (256) ==="
+$SG 3600 900 -- python -u tools/scl_breakdown_probe.py \
+    --N 1024 --L 8 --batch 4096 --chunk 128 --control unroll-kernel \
+    --perm rank --leaf onehot --batch-tile 256 \
+    --masks all_frozen,real_rate_half 2>&1 | grep -v WARNING
+
+echo "=== r5q7 done ==="

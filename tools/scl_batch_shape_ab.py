@@ -25,6 +25,7 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--control", default="unroll-kernel")
     ap.add_argument("--node-mode", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--batch-tile", type=int, default=128)
     args = ap.parse_args()
 
     import bench
@@ -34,7 +35,8 @@ def main() -> int:
         t0 = time.time()
         r = bench.bench_polar_scl8(batch=batch, control_impl=args.control,
                                    chunk=args.chunk, scan_chunks=scan,
-                                   node_mode=args.node_mode)
+                                   node_mode=args.node_mode,
+                                   batch_tile=args.batch_tile)
         print(f"shape {batch}x{scan}: {r['mbps']:.1f} Mbps "
               f"(BER {r['ber_3db']:.2e}, total {time.time()-t0:.0f}s)",
               flush=True)

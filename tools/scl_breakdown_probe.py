@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--perm", default="rank", choices=["onehot", "rank"])
     ap.add_argument("--leaf", default="onehot", choices=["onehot", "sort"])
     ap.add_argument("--mask-dedup", default="exact", choices=["exact", "union"])
+    ap.add_argument("--batch-tile", type=int, default=128)
     ap.add_argument("--masks", default="all_frozen,all_info,real_rate_half")
     args = ap.parse_args()
     import jax
@@ -67,7 +68,8 @@ def main() -> None:
                                             control_impl=args.control,
                                             perm_impl=args.perm,
                                             leaf_impl=args.leaf,
-                                            mask_dedup=args.mask_dedup))
+                                            mask_dedup=args.mask_dedup,
+                                            batch_tile=args.batch_tile))
         t0 = time.perf_counter()
         _force(dec(llr))
         tc = time.perf_counter() - t0
