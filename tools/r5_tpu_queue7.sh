@@ -22,4 +22,12 @@ $SG 3600 900 -- python -u tools/scl_breakdown_probe.py \
     --perm rank --leaf onehot --batch-tile 256 \
     --masks all_frozen,real_rate_half 2>&1 | grep -v WARNING
 
+echo "=== r5q7: adaptive sweep at batch 16384 (amortize fixed cost) ==="
+# the b8192 sweep reached 1081 Mbps at 0% fallback (target >= 1150);
+# SC+CRC at b16384 runs 6.29 ms -> the ~0.7 ms cond/count overhead
+# amortizes to ~1180 effective
+$SG 4500 900 -- python -u tools/serving_runs.py --sweep-batch 16384 \
+    --sweep-scan 4 --sweep-snrs "1.5,2" --frames 10000000 \
+    2>&1 | grep -v WARNING | tail -8
+
 echo "=== r5q7 done ==="

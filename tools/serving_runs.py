@@ -246,7 +246,20 @@ def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     # CPU smoke runs must not clobber the committed TPU artifact
     name = "serving_cpu_smoke.json" if args.cpu else "serving.json"
-    (OUT / name).write_text(json.dumps(out, indent=2))
+    path = OUT / name
+    if path.exists():
+        # partial re-runs (e.g. a big-batch sweep at a subset of SNRs)
+        # refresh only their entries; keyed sections merge, the sweep
+        # keeps distinct batch sizes side by side
+        merged = json.loads(path.read_text())
+        if "adaptive_sweep" in out and "adaptive_sweep" in merged:
+            old_sweep = merged.pop("adaptive_sweep")
+            if old_sweep.get("batch") != out["adaptive_sweep"]["batch"]:
+                merged[f"adaptive_sweep_b{old_sweep.get('batch')}"] = \
+                    old_sweep
+        merged.update(out)
+        out = merged
+    path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 
