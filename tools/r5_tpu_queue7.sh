@@ -30,4 +30,11 @@ $SG 4500 900 -- python -u tools/serving_runs.py --sweep-batch 16384 \
     --sweep-scan 4 --sweep-snrs "1.5,2" --frames 10000000 \
     2>&1 | grep -v WARNING | tail -8
 
+echo "=== r5q7: layered n=8192 million-frame MC, MXU encode ==="
+# the first run measured 44.1 Mbps e2e with the encode matmul running
+# int32x:int32 off-MXU; re-measure with the s8xs8->s32 MXU encode
+$SG 4500 1200 -- python -u tools/large_code_mc.py --skip-polar \
+    --frames 1000000 --ldpc-snr -1.25 --ldpc-decoder nms \
+    --ldpc-schedule layered 2>&1 | grep -v WARNING | tail -4
+
 echo "=== r5q7 done ==="
