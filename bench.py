@@ -372,14 +372,16 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — bench must not die here
         _log(f"sc mega stage failed (keeping prior line): {e!r}")
     # staged upgrade: whole-chunk-step Pallas superkernels (unroll-kernel)
-    # are ~2.2x the safe line but compile ~3.5-8 min over the tunnel;
+    # are ~3.8x the safe line but compile ~2-5 min over the tunnel;
     # attempt them LAST so a stall/kill can only lose the upgrade, never
     # the safe lines above (the driver reads the last complete line).
     # batch-shape sweep at fixed 131072 frames (v5e, 2026-08-18,
     # tools/scl_batch_shape_ab.py): 16384x8 215.1, 8192x16 240.8,
     # 4096x32 246.8, 2048x64 238.9 — 4096x32 is the optimum.  With the
     # round-3 rank algebra the chunk optimum moved 64 → 128 (v5e,
-    # 2026-08-19: c64 254.8, c128 277.7; 8192x16 c128 272.8).
+    # 2026-08-19: c64 254.8, c128 277.7; 8192x16 c128 272.8).  Round 4
+    # (state-DMA elision, packed butterfly, bit-level f_minsum): 448.6.
+    # Round 5 (live-width decoding, narrow superkernels): 462.4.
     try:
         polar_p = bench_polar_scl8(batch=4096, control_impl="unroll-kernel",
                                    chunk=128, scan_chunks=32)

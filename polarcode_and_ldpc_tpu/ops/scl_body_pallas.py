@@ -427,6 +427,8 @@ def make_chunk_body_pallas(flags: np.ndarray, Lsz: int, dtype,
         return pl.pallas_call(
             kernel,
             grid=grid,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             in_specs=[
                 pl.BlockSpec((Lsz, S, batch_tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),

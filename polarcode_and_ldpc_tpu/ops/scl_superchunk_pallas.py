@@ -316,6 +316,11 @@ def make_superchunk_pallas(sel: int, flags: np.ndarray, j: int, t: int,
             out_shape=tuple(
                 jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B, out=True))
                 for kind, i in out_plan),
+            # batch tiles are independent: let Mosaic software-pipeline
+            # across grid steps (the serial per-tile dependent chain is
+            # the measured decode floor, r5)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=interpret,
         )(*operands)
         new = {k: dict(v) for k, v in full.items()}
@@ -439,6 +444,8 @@ def make_last_superchunk_pallas(flags: np.ndarray, t: int, sizes, Lsz: int,
             out_shape=tuple(
                 jax.ShapeDtypeStruct(*_shape_dtype(kind, i, B))
                 for kind, i in out_plan),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=interpret,
         )(*operands)
 

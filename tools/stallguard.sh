@@ -23,7 +23,11 @@ while kill -0 $PID 2>/dev/null; do
     wait $PID 2>/dev/null
     exit 124
   fi
-  cpu=$(awk '{print $14+$15}' /proc/$PID/stat 2>/dev/null || echo "")
+  # whole-process CPU in SECONDS (ticks/100): background gRPC keepalive
+  # threads burn a few ticks per minute even when wedged, so require a
+  # full second of CPU progress to count as alive (r5: a wedge survived
+  # the tick-granularity check for 25+ min)
+  cpu=$(awk '{printf "%d", ($14+$15)/100}' /proc/$PID/stat 2>/dev/null || echo "")
   if [ -n "$cpu" ]; then
     if [ "$cpu" != "$last_cpu" ]; then
       last_cpu=$cpu
