@@ -153,8 +153,17 @@ def run_polar4096(batch: int, list_size: int, snr_db: float = 3.0,
         u[:, :, 0, :] ^= u[:, :, 1, :]
         u = u.reshape(nb, N)
         s *= 2
-    llr = jnp.asarray(awgn_llr_np(u, snr_db, rng.standard_normal((nb, N)))
-                      .astype(np.float32))
+    llr_np = awgn_llr_np(u, snr_db,
+                         rng.standard_normal((nb, N))).astype(np.float32)
+    # stage host->device in <=16 MB slices: the tunnel wedged 5x in r5 on
+    # single ~70-134 MB puts (client frozen in tcp_recvmsg), while small
+    # transfers never did
+    step_rows = max(1, (16 << 20) // (N * 4))
+    parts = [jax.device_put(llr_np[i:i + step_rows])
+             for i in range(0, nb, step_rows)]
+    llr = jnp.concatenate(parts, axis=0)
+    jax.block_until_ready(llr)
+    _log(f"polar4096: staged {nb}x{N} LLRs in {len(parts)} slices")
     dec = jax.jit(make_scl_decoder(N, fm, list_size, impl="scan-chunked",
                                    chunk=chunk, body_impl=body,
                                    leaf_impl=leaf, control_impl=control,
